@@ -1,0 +1,134 @@
+"""On-device DB postprocess vs OpenCV ground truth.
+
+The reference postprocess is cv2.findContours + cv2.minAreaRect
+(text_detector.py:143-178); these tests assert our pure-JAX
+implementation reproduces it on synthetic probability maps.
+"""
+import cv2
+import numpy as np
+import pytest
+
+
+def _poly_iou(poly_a, poly_b, size=640):
+    a = np.zeros((size, size), np.uint8)
+    b = np.zeros((size, size), np.uint8)
+    cv2.fillPoly(a, [np.round(np.asarray(poly_a)).astype(np.int32)], 1)
+    cv2.fillPoly(b, [np.round(np.asarray(poly_b)).astype(np.int32)], 1)
+    inter = np.logical_and(a, b).sum()
+    union = np.logical_or(a, b).sum()
+    return inter / max(union, 1)
+
+
+def _reference_minarearect(binary_map):
+    contours, _ = cv2.findContours(
+        (binary_map * 255).astype(np.uint8),
+        cv2.RETR_EXTERNAL,
+        cv2.CHAIN_APPROX_SIMPLE,
+    )
+    rects = []
+    for c in contours:
+        if cv2.contourArea(c) < 100:
+            continue
+        rect = cv2.minAreaRect(c)
+        rects.append(cv2.boxPoints(rect))
+    return rects
+
+
+def _synthetic_map(rects, size=640):
+    """rects: list of (cx, cy, w, h, angle_deg). Returns float prob map."""
+    m = np.zeros((size, size), np.float32)
+    for cx, cy, w, h, ang in rects:
+        box = cv2.boxPoints(((cx, cy), (w, h), ang))
+        cv2.fillPoly(m, [np.round(box).astype(np.int32)], 0.95)
+    return m
+
+
+def test_connected_components_counts():
+    import jax.numpy as jnp
+    from vtd_tpu.ops.db_postprocess import connected_components
+
+    m = np.zeros((64, 64), bool)
+    m[5:15, 5:25] = True
+    m[40:50, 30:60] = True
+    m[20:22, 50:52] = True
+    labels = np.asarray(connected_components(jnp.asarray(m)))
+    fg = labels.reshape(64, 64)[m]
+    assert len(np.unique(fg)) == 3
+
+
+@pytest.mark.parametrize(
+    "rects",
+    [
+        [(320, 320, 200, 60, 0)],
+        [(200, 150, 180, 50, 25)],
+        [(150, 100, 120, 40, 0), (450, 400, 220, 70, -30), (320, 550, 90, 45, 60)],
+    ],
+)
+def test_minarearect_parity_with_cv2(rects):
+    import jax.numpy as jnp
+    from vtd_tpu.ops.db_postprocess import db_postprocess
+
+    prob = _synthetic_map(rects)
+    ours = db_postprocess(jnp.asarray(prob), 0.5)
+    ref_rects = _reference_minarearect(prob > 0.5)
+
+    valid = np.asarray(ours["valid"])
+    our_polys = np.asarray(ours["polygons"])[valid]
+    assert len(our_polys) == len(ref_rects) == len(rects)
+
+    # every reference rect must be matched by one of ours at IoU >= 0.9
+    for ref in ref_rects:
+        best = max(_poly_iou(ref, p) for p in our_polys)
+        assert best >= 0.9, f"IoU {best:.3f} too low"
+
+
+def test_small_components_filtered():
+    import jax.numpy as jnp
+    from vtd_tpu.ops.db_postprocess import db_postprocess
+
+    prob = np.zeros((640, 640), np.float32)
+    prob[10:15, 10:15] = 0.9  # 25 px < 100 area filter
+    prob[100:150, 100:300] = 0.9  # large
+    out = db_postprocess(jnp.asarray(prob), 0.5)
+    assert int(np.asarray(out["valid"]).sum()) == 1
+
+
+def test_scores_are_mean_prob():
+    import jax.numpy as jnp
+    from vtd_tpu.ops.db_postprocess import db_postprocess
+
+    prob = np.zeros((640, 640), np.float32)
+    prob[100:200, 100:400] = 0.8
+    out = db_postprocess(jnp.asarray(prob), 0.5)
+    valid = np.asarray(out["valid"])
+    s = np.asarray(out["scores"])[valid]
+    assert len(s) == 1
+    assert abs(s[0] - 0.8) < 0.05
+
+
+def test_extract_detections_format():
+    import jax.numpy as jnp
+    from vtd_tpu.ops.db_postprocess import db_postprocess, extract_detections
+
+    prob = _synthetic_map([(320, 320, 200, 60, 10)])
+    out = db_postprocess(jnp.asarray(prob), 0.5)
+    dets = extract_detections(out, orig_width=1280, orig_height=720)
+    assert len(dets) == 1
+    d = dets[0]
+    assert set(d) == {"bbox", "confidence", "polygon"}
+    x1, y1, x2, y2 = d["bbox"]
+    assert 0 <= x1 < x2 <= 1280 and 0 <= y1 < y2 <= 720
+    assert len(d["polygon"]) == 4
+    assert all(len(p) == 2 for p in d["polygon"])
+    assert 0.0 <= d["confidence"] <= 1.0
+
+
+def test_empty_map_no_detections():
+    import jax.numpy as jnp
+    from vtd_tpu.ops.db_postprocess import db_postprocess, extract_detections
+
+    prob = np.zeros((640, 640), np.float32)
+    out = db_postprocess(jnp.asarray(prob), 0.5)
+    assert int(np.asarray(out["valid"]).sum()) == 0
+    assert extract_detections(out, 640, 480) == []
+    assert np.isfinite(np.asarray(out["boxes"])).all()

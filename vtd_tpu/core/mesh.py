@@ -1,0 +1,83 @@
+"""Device mesh management.
+
+The reference scaled by running Celery worker replicas, one GPU each
+(``k8s/deployment.yaml:127-189``). The TPU-native equivalent is a
+``jax.sharding.Mesh``: frames are data-parallel over the ``data`` axis,
+and (optionally) model weights shard over a ``model`` axis. All
+cross-chip traffic is XLA collectives over ICI.
+"""
+from __future__ import annotations
+
+import math
+from contextlib import contextmanager
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    With no arguments, all devices go to the data axis — the natural
+    layout for inference, where frames are embarrassingly parallel.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n_total = len(devices)
+    if n_data is None:
+        n_data = n_total // n_model
+    if n_data * n_model != n_total:
+        raise ValueError(
+            f"mesh {n_data}x{n_model} != {n_total} devices"
+        )
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis; replicate rest."""
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return int(math.ceil(n / m) * m)
+
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def get_active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
+@contextmanager
+def active_mesh(mesh: Mesh):
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    try:
+        with mesh:
+            yield mesh
+    finally:
+        _ACTIVE_MESH = prev
+
+
+def local_batch_slice(global_batch: int, mesh: Mesh) -> Tuple[int, int]:
+    """(start, size) of this process's slice of a data-sharded batch."""
+    n_data = mesh.shape[DATA_AXIS]
+    per = global_batch // n_data
+    idx = jax.process_index()
+    return idx * per, per
