@@ -1,0 +1,94 @@
+"""Benchmark: end-to-end 720p video OCR frames/sec/chip.
+
+Runs BASELINE.json config #3 — the full detect -> crop -> recognize
+pipeline on a synthetic 720p clip — on the available accelerator and
+prints ONE JSON line.
+
+Baseline: the reference publishes no numbers (BASELINE.md). Its only
+quantitative statement is the user-facing estimate of 1-5 min of GPU
+processing per 1 min of video at 10 fps sampling
+(reference app/frontend/main.py:292), i.e. 2-10 sampled frames/sec.
+``vs_baseline`` is measured against the optimistic end of that range
+(10 fps), the strongest claim the reference makes for itself.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+BASELINE_FPS = 10.0  # reference GPU-worker optimistic estimate
+
+
+def make_clip(path: str, seconds: int = 8, fps: int = 30) -> None:
+    import cv2
+
+    w, h = 1280, 720
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), float(fps), (w, h)
+    )
+    rng = np.random.default_rng(0)
+    texts = ["HELLO WORLD", "TPU NATIVE", "VIDEO OCR 123", "BENCHMARK"]
+    for i in range(seconds * fps):
+        frame = rng.integers(180, 255, (h, w, 3), dtype=np.uint8)
+        for k, t in enumerate(texts):
+            cv2.putText(
+                frame, t, (80 + 40 * k, 150 + 140 * k),
+                cv2.FONT_HERSHEY_SIMPLEX, 2.2, (0, 0, 0), 5,
+            )
+        writer.write(frame)
+    writer.release()
+
+
+def main() -> None:
+    import asyncio
+
+    from vtd_tpu.runtime import VideoTextPipeline
+
+    with tempfile.TemporaryDirectory() as td:
+        clip = os.path.join(td, "bench_720p.mp4")
+        make_clip(clip)
+
+        pipeline = VideoTextPipeline(
+            use_transformer_ocr=False,
+            batch_size=8,
+            max_dets=64,
+            target_fps=10.0,
+        )
+
+        # Warmup: compile every program shape on a short prefix.
+        warm = os.path.join(td, "warm.mp4")
+        make_clip(warm, seconds=2)
+        asyncio.run(pipeline.process_video(warm, td))
+
+        t0 = time.time()
+        result = asyncio.run(pipeline.process_video(clip, td))
+        elapsed = time.time() - t0
+
+    assert result["status"] == "success", result.get("error")
+    frames = result["summary"]["total_frames"]
+    fps = frames / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_720p_ocr_frames_per_sec_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 2),
+            }
+        )
+    )
+    # diagnostics to stderr only
+    print(
+        f"frames={frames} elapsed={elapsed:.2f}s "
+        f"detections={result['summary']['total_detections']}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -8,13 +8,24 @@ collectives are exercised without real chips.
 """
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The XLA_FLAGS env must be set before the CPU backend initializes.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# sitecustomize (in /root/.axon_site) imports jax and registers the TPU
+# backend before pytest starts, so the env var alone is too late —
+# override the platform on the already-imported module.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the heavy DBNet/CRNN CPU compiles dominate
+# test wall-time; cache them across test sessions.
+jax.config.update("jax_compilation_cache_dir", "/tmp/vtd_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

