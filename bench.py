@@ -19,7 +19,13 @@ import sys
 import tempfile
 import time
 
+import jax
 import numpy as np
+
+# Persistent compile cache: the fused pipeline program is large and the
+# TPU (remote-)compile path is slow; cache across bench invocations.
+jax.config.update("jax_compilation_cache_dir", "/tmp/vtd_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_FPS = 10.0  # reference GPU-worker optimistic estimate
 

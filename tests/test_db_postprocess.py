@@ -123,6 +123,27 @@ def test_extract_detections_format():
     assert 0.0 <= d["confidence"] <= 1.0
 
 
+def test_few_components_no_slot_collision():
+    """Regression: with far fewer components than max_dets, filler top-K
+    entries must not steal a real component's compact slot (was
+    producing NaN boxes for valid detections)."""
+    import jax.numpy as jnp
+    from vtd_tpu.ops.db_postprocess import db_postprocess
+
+    prob = np.zeros((640, 640), np.float32)
+    prob[100:160, 100:400] = 0.9
+    prob[300:360, 200:500] = 0.9
+    out = db_postprocess(jnp.asarray(prob), 0.5, max_dets=64)
+    valid = np.asarray(out["valid"])
+    assert valid.sum() == 2
+    boxes = np.asarray(out["boxes"])
+    assert np.isfinite(boxes).all()
+    vb = boxes[valid]
+    # both real boxes recovered with sane extents
+    assert ((vb[:, 2] - vb[:, 0]) > 250).all()
+    assert ((vb[:, 3] - vb[:, 1]) > 40).all()
+
+
 def test_empty_map_no_detections():
     import jax.numpy as jnp
     from vtd_tpu.ops.db_postprocess import db_postprocess, extract_detections

@@ -1,0 +1,109 @@
+"""NMS / temporal-dedup / multi-stream engine tests."""
+import numpy as np
+import pytest
+
+
+def test_iou_matrix():
+    import jax.numpy as jnp
+    from vtd_tpu.ops.nms import iou_matrix
+
+    a = jnp.asarray([[0, 0, 10, 10], [20, 20, 30, 30]], jnp.float32)
+    b = jnp.asarray([[0, 0, 10, 10], [5, 5, 15, 15]], jnp.float32)
+    m = np.asarray(iou_matrix(a, b))
+    assert abs(m[0, 0] - 1.0) < 1e-6
+    assert abs(m[0, 1] - 25 / 175) < 1e-4
+    assert m[1, 0] == 0.0
+
+
+def test_nms_suppresses_overlaps():
+    import jax.numpy as jnp
+    from vtd_tpu.ops.nms import nms
+
+    boxes = np.zeros((8, 4), np.float32)
+    boxes[0] = [0, 0, 10, 10]
+    boxes[1] = [1, 1, 11, 11]  # overlaps 0, lower score
+    boxes[2] = [50, 50, 60, 60]
+    scores = np.array([0.9, 0.8, 0.7, 0, 0, 0, 0, 0], np.float32)
+    valid = np.array([1, 1, 1, 0, 0, 0, 0, 0], bool)
+    keep = np.asarray(
+        nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5)
+    )
+    assert keep[0] and not keep[1] and keep[2]
+    assert not keep[3:].any()
+
+
+def test_temporal_dedup_tracks():
+    from vtd_tpu.ops.nms import temporal_dedup
+
+    frames = []
+    for fn in range(5):
+        frames.append(
+            {
+                "frame_number": fn,
+                "timestamp": fn * 0.1,
+                "detections": [
+                    {
+                        "bbox": [100 + fn, 100, 200 + fn, 140],
+                        "text": "HELLO",
+                        "detection_confidence": 0.8 + 0.01 * fn,
+                        "recognition_confidence": 0.9,
+                        "polygon": [],
+                    }
+                ],
+            }
+        )
+    frames[2]["detections"].append(
+        {
+            "bbox": [400, 300, 500, 340],
+            "text": "WORLD",
+            "detection_confidence": 0.7,
+            "recognition_confidence": 0.6,
+            "polygon": [],
+        }
+    )
+    tracks = temporal_dedup(frames)
+    assert len(tracks) == 2
+    hello = next(t for t in tracks if t["text"] == "HELLO")
+    assert hello["count"] == 5
+    assert hello["first_frame"] == 0 and hello["last_frame"] == 4
+    assert abs(hello["max_detection_confidence"] - 0.84) < 1e-6
+
+
+@pytest.mark.slow
+def test_multistream_engine(tmp_path):
+    import cv2
+    from vtd_tpu.runtime.engine import InferenceEngine
+    from vtd_tpu.runtime.pipeline import VideoTextPipeline
+
+    paths = []
+    for v in range(2):
+        path = str(tmp_path / f"v{v}.mp4")
+        w = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (320, 240)
+        )
+        for i in range(30):
+            frame = np.full((240, 320, 3), 255, np.uint8)
+            cv2.putText(
+                frame, f"VID{v}", (60, 120), cv2.FONT_HERSHEY_SIMPLEX,
+                1.5, (0, 0, 0), 3,
+            )
+            w.write(frame)
+        w.release()
+        paths.append(path)
+
+    pipeline = VideoTextPipeline(
+        use_transformer_ocr=False, batch_size=4, max_dets=16,
+        detector_input_size=160, recognizer_kwargs={"pad_batch": 32},
+    )
+    engine = InferenceEngine(pipeline=pipeline, max_wait_ms=30)
+    try:
+        results = engine.process_videos(paths, target_fps=10)
+    finally:
+        engine.close()
+    assert set(results) == set(paths)
+    for path in paths:
+        r = results[path]
+        assert r["status"] == "success"
+        assert len(r["results"]) == 10
+        nums = [f["frame_number"] for f in r["results"]]
+        assert nums == sorted(nums)

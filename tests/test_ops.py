@@ -56,6 +56,32 @@ def test_crop_and_resize_matches_cv2(rng):
         assert err < 0.02, f"crop {i} mean err {err}"
 
 
+def test_crop_mm_matches_cv2(rng):
+    import jax.numpy as jnp
+    from vtd_tpu.ops.crop import crop_and_resize_boxes_mm
+
+    img = rng.integers(0, 255, (480, 640, 3), np.uint8)
+    boxes = np.array([[100, 50, 300, 120], [0, 0, 64, 32]], np.float32)
+    valid = np.array([True, True])
+    ours = np.asarray(
+        crop_and_resize_boxes_mm(
+            jnp.asarray(img), jnp.asarray(boxes), jnp.asarray(valid)
+        )
+    )
+    assert ours.shape == (2, 32, 128, 3)
+    for i, (x1, y1, x2, y2) in enumerate(boxes.astype(int)):
+        ref = (
+            cv2.resize(
+                img[y1:y2, x1:x2].astype(np.float32),
+                (128, 32),
+                interpolation=cv2.INTER_LINEAR,
+            )
+            / 255.0
+        )
+        err = np.abs(ours[i] - ref).mean()
+        assert err < 0.02, f"crop {i} mean err {err}"
+
+
 def test_crop_invalid_slots_zero(rng):
     import jax.numpy as jnp
     from vtd_tpu.ops.crop import crop_and_resize_boxes

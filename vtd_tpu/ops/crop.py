@@ -78,6 +78,48 @@ def crop_and_resize_boxes(
 
 
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
+def crop_and_resize_boxes_mm(
+    image: jnp.ndarray,
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    out_h: int = 32,
+    out_w: int = 128,
+) -> jnp.ndarray:
+    """Matmul formulation of :func:`crop_and_resize_boxes`.
+
+    Bilinear crop+resize is separable: build per-box triangle-kernel
+    interpolation matrices A_y [K, out_h, H] and A_x [K, out_w, W]
+    (weight = relu(1 - |src_row - query|)) and contract them against the
+    image with two einsums. On TPU this runs on the MXU instead of the
+    serialized gather path — an order of magnitude faster for K x 32 x
+    128 crop batches.
+    """
+    h, w = image.shape[:2]
+    x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
+    bw = jnp.maximum(x2 - x1, 1.0)
+    bh = jnp.maximum(y2 - y1, 1.0)
+
+    gy = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h  # [out_h]
+    gx = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
+    yq = jnp.clip(y1[:, None] + gy[None, :] * bh[:, None] - 0.5, 0, h - 1)
+    xq = jnp.clip(x1[:, None] + gx[None, :] * bw[:, None] - 0.5, 0, w - 1)
+
+    rows = jnp.arange(h, dtype=jnp.float32)
+    cols = jnp.arange(w, dtype=jnp.float32)
+    a_y = jnp.maximum(0.0, 1.0 - jnp.abs(rows[None, None, :] - yq[:, :, None]))
+    a_x = jnp.maximum(0.0, 1.0 - jnp.abs(cols[None, None, :] - xq[:, :, None]))
+
+    img = image.astype(jnp.float32)
+    tmp = jnp.einsum(
+        "kyh,hwc->kywc", a_y, img, preferred_element_type=jnp.float32
+    )
+    crops = jnp.einsum(
+        "kxw,kywc->kyxc", a_x, tmp, preferred_element_type=jnp.float32
+    ) / 255.0
+    return jnp.where(valid[:, None, None, None], crops, 0.0)
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
 def rectify_polygons(
     image: jnp.ndarray,
     polygons: jnp.ndarray,

@@ -5,25 +5,26 @@ Replaces the reference's CPU OpenCV chain — binarize ->
 area/size filters -> rescale (reference
 ``app/ml/models/text_detector.py:143-178``) — with a fully vectorized,
 static-shape XLA program that runs on the TPU right after the detector
-forward pass, so probability maps never cross back to the host:
+forward pass, so probability maps never cross back to the host.
 
-1. **Connected components** by iterated 8-neighbor min-label propagation
-   with pointer jumping (``label <- label[label]``), which converges in
-   O(log diameter) sweeps. Each pixel ends up holding the minimum flat
-   index of its component.
-2. **Top-K component selection** by area via one ``segment_sum`` over
-   the label image and ``lax.top_k`` (K = ``max_dets``, masked ``valid``
-   flags instead of dynamic shapes).
-3. **Min-area rotated rectangle** per component via rotating calipers:
-   project component pixels onto A candidate angles in [0, 90°) and take
-   per-component min/max extents with ``segment_min``/``segment_max``;
-   the angle minimizing extent area is the min-area rect (up to angle
-   quantization), then a per-detection local refinement sharpens the
-   angle. The refinement evaluates a *different* angle per detection in
-   one pass by gathering each pixel's detection-specific angle.
-4. **Confidence** = mean probability inside the axis-aligned box,
-   computed O(1) per box from a 2-D integral image (the intended
-   semantics of ``text_detector.py:168-170``).
+TPU-first design notes (what makes this fast on the VPU/HBM):
+  * All component work happens on a ``work_stride``-downsampled binary
+    map (default 2x: 320x320 for a 640 map). The DB head upsamples from
+    stride-4 features, so the full-res map carries no extra component
+    geometry; this cuts every gather by 4x. Confidences still integrate
+    the full-res probability map.
+  * **No scatters in the hot path.** Per-component reductions use dense
+    masked min/max over a [K+1, N] one-hot — pure VPU streaming that XLA
+    fuses into the reductions — instead of ``segment_min`` scatters.
+    Component selection (areas + top-K) uses one sort + vectorized
+    binary search instead of a 100k-slot ``segment_sum``.
+  * Connected components: iterated 8-neighbor min propagation (dense
+    shifted minima) with pointer-jumping rounds (``label <- label[label]``)
+    for O(log diameter) convergence.
+  * Min-area rotated rect via rotating calipers: coarse angle sweep in
+    [0, 90°) then a per-detection refinement that evaluates a different
+    angle per component in one pass (gathering each pixel's
+    detection-specific angle).
 
 Everything is fixed-shape: outputs are [K] arrays with a ``valid`` mask.
 """
@@ -43,19 +44,25 @@ _NEIGHBOR_SHIFTS = (
 )
 
 
-def connected_components(binary: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
+def connected_components(
+    binary: jnp.ndarray, dense_iters: int = 8, jump_rounds: int = 4
+) -> jnp.ndarray:
     """8-connected component labels for a [H, W] bool map.
 
     Returns flat int32 labels [H*W]; each foreground pixel holds the min
     flat index of its component; background pixels hold their own index.
+
+    Schedule: ``jump_rounds`` rounds of (``dense_iters`` 8-neighbor min
+    sweeps + one pointer jump). Dense sweeps are pure VPU shifts (cheap);
+    pointer jumps (``label <- label[label]``) are 1-D gathers (the
+    expensive op on TPU), so the schedule uses many sweeps per jump.
+    Label reach grows ~2x per round after the sweeps, so (8, 4) covers
+    components up to ~350 px across — a full-width 320-strided map.
     """
     h, w = binary.shape
     hw = h * w
     big = jnp.int32(hw)
-    flat_idx = jnp.arange(hw, dtype=jnp.int32)
-    labels = flat_idx  # self-labels; background never participates
-
-    binary_flat = binary.reshape(-1)
+    labels = jnp.arange(hw, dtype=jnp.int32)  # self-labels
 
     def neighbor_min(lbl_flat):
         l2d = jnp.where(binary, lbl_flat.reshape(h, w), big)
@@ -66,36 +73,27 @@ def connected_components(binary: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
         out = jnp.where(binary, m, lbl_flat.reshape(h, w))
         return out.reshape(-1)
 
-    def body(_, lbl):
-        lbl = neighbor_min(lbl)
-        lbl = lbl[lbl]  # pointer jump (path compression)
-        lbl = lbl[lbl]
-        return lbl
+    def round_body(_, lbl):
+        lbl = jax.lax.fori_loop(
+            0, dense_iters, lambda i, l: neighbor_min(l), lbl
+        )
+        return lbl[lbl]  # pointer jump (path compression)
 
-    return jax.lax.fori_loop(0, iters, body, labels)
+    return jax.lax.fori_loop(0, jump_rounds, round_body, labels)
 
 
-def _extents_at_angles(xs, ys, det_id, theta, k1):
-    """Per-detection projection extents at per-pixel angles theta.
-
-    xs, ys, det_id, theta: [N] arrays (theta already gathered per pixel).
-    Returns (umin, umax, vmin, vmax), each [k1].
-    """
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    u = xs * c + ys * s
-    v = -xs * s + ys * c
-    umin = jax.ops.segment_min(u, det_id, num_segments=k1)
-    umax = jax.ops.segment_max(u, det_id, num_segments=k1)
-    vmin = jax.ops.segment_min(v, det_id, num_segments=k1)
-    vmax = jax.ops.segment_max(v, det_id, num_segments=k1)
-    return umin, umax, vmin, vmax
+def _masked_minmax(vals: jnp.ndarray, onehot: jnp.ndarray):
+    """vals [N], onehot [K, N] bool -> (min, max) per row, dense VPU."""
+    vmin = jnp.min(jnp.where(onehot, vals[None, :], jnp.inf), axis=1)
+    vmax = jnp.max(jnp.where(onehot, vals[None, :], -jnp.inf), axis=1)
+    return vmin, vmax
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "max_dets", "min_area", "num_angles", "refine_steps", "cc_iters",
-        "search_stride",
+        "work_stride",
     ),
 )
 def db_postprocess(
@@ -106,59 +104,80 @@ def db_postprocess(
     min_area: float = 100.0,
     num_angles: int = 45,
     refine_steps: int = 9,
-    cc_iters: int = 16,
-    search_stride: int = 2,
+    cc_iters: int = 8,
+    work_stride: int = 2,
 ) -> Dict[str, jnp.ndarray]:
     """[H, W] float prob map -> fixed-size detection arrays.
 
-    Returns dict with (all in map coordinate space, e.g. 640x640):
+    Returns dict with (all in full-resolution map coordinates, e.g.
+    640x640):
       boxes:    [K, 4] f32 AABB (x1, y1, x2, y2), clamped to map bounds
       polygons: [K, 4, 2] f32 rotated min-area rect corners
       scores:   [K] f32 mean probability inside the AABB
-      areas:    [K] f32 component pixel areas
+      areas:    [K] f32 component pixel areas (full-res px^2)
       valid:    [K] bool
     """
     h, w = prob_map.shape
     k = max_dets
-    k1 = k + 1  # last slot collects background / non-top-K pixels
+    st = work_stride
 
-    binary = prob_map > bin_thresh
-    labels = connected_components(binary, iters=cc_iters)
+    binary_full = prob_map > bin_thresh
+    # stride-reduce with max-pool semantics (any hit survives)
+    hs, ws = h // st, w // st
+    binary = binary_full[: hs * st, : ws * st].reshape(hs, st, ws, st).any(
+        axis=(1, 3)
+    )
+    n = hs * ws
+
+    labels = connected_components(binary, dense_iters=cc_iters, jump_rounds=4)
     binary_flat = binary.reshape(-1)
 
-    areas = jax.ops.segment_sum(
-        binary_flat.astype(jnp.float32), labels, num_segments=h * w
+    # ---- component areas + top-K roots via sort + segmented scans ------
+    # (dense cumulative ops; no scatters, no binary-search gathers)
+    ls = jnp.sort(labels)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), ls[1:] != ls[:-1]]
     )
-    top_areas, top_roots = jax.lax.top_k(areas, k)
-    valid = top_areas >= min_area
+    # next run start after each position (exclusive), via reverse cummin
+    nxt_start = jnp.roll(jnp.where(is_start, idx, n), -1).at[-1].set(n)
+    nxt = jax.lax.cummin(nxt_start, reverse=True)
+    run_len = jnp.where(is_start, nxt - idx, 0)
+    # Only foreground labels count (background runs have length 1 and
+    # fail min_area, but mask them anyway for robustness).
+    scores_for_topk = jnp.where(run_len > 1, run_len, 0)
+    top_lens, top_pos = jax.lax.top_k(scores_for_topk, k)
+    top_roots = ls[top_pos]
+    areas = top_lens.astype(jnp.float32) * (st * st)
+    valid = areas >= min_area
 
-    slot = jnp.full((h * w,), k, dtype=jnp.int32)
-    slot = slot.at[top_roots].set(jnp.arange(k, dtype=jnp.int32))
+    # compact relabel: det_id in [0, K], K = none. Filler top-K slots
+    # (fewer components than K) carry arbitrary in-run labels that can
+    # collide with a real root — drop them from the scatter instead of
+    # letting them steal a real component's slot.
+    safe_roots = jnp.where(valid, top_roots, n)
+    slot = jnp.full((n,), k, dtype=jnp.int32)
+    slot = slot.at[safe_roots].set(
+        jnp.arange(k, dtype=jnp.int32), mode="drop"
+    )
     det_id = jnp.where(binary_flat, slot[labels], k)
 
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    # pixel-center coordinates in FULL-RES space
+    ys = (jax.lax.broadcasted_iota(jnp.float32, (hs, ws), 0) * st + (st - 1) / 2)
+    xs = (jax.lax.broadcasted_iota(jnp.float32, (hs, ws), 1) * st + (st - 1) / 2)
     xs_f, ys_f = xs.reshape(-1), ys.reshape(-1)
 
-    # ---- axis-aligned extents ----
-    xmin = jax.ops.segment_min(xs_f, det_id, num_segments=k1)[:k]
-    xmax = jax.ops.segment_max(xs_f, det_id, num_segments=k1)[:k]
-    ymin = jax.ops.segment_min(ys_f, det_id, num_segments=k1)[:k]
-    ymax = jax.ops.segment_max(ys_f, det_id, num_segments=k1)[:k]
+    onehot = det_id[None, :] == jnp.arange(k, dtype=jnp.int32)[:, None]
 
-    # ---- coarse angle search (strided for speed; angle is robust) ----
-    st = search_stride
-    det_id_s = det_id.reshape(h, w)[::st, ::st].reshape(-1)
-    xs_s = xs[::st, ::st].reshape(-1)
-    ys_s = ys[::st, ::st].reshape(-1)
-
+    # ---- coarse angle search (rotating calipers, dense reductions) -----
     def coarse_body(j, carry):
         best_area, best_theta = carry
         theta = (jnp.pi / 2) * j / num_angles
-        theta_px = jnp.full_like(xs_s, theta)
-        umin, umax, vmin, vmax = _extents_at_angles(
-            xs_s, ys_s, det_id_s, theta_px, k1
-        )
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        u = xs_f * c + ys_f * s
+        v = -xs_f * s + ys_f * c
+        umin, umax = _masked_minmax(u, onehot)
+        vmin, vmax = _masked_minmax(v, onehot)
         a = (umax - umin) * (vmax - vmin)
         better = a < best_area
         return (
@@ -166,44 +185,43 @@ def db_postprocess(
             jnp.where(better, theta, best_theta),
         )
 
-    init = (jnp.full((k1,), jnp.inf), jnp.zeros((k1,)))
+    init = (jnp.full((k,), jnp.inf), jnp.zeros((k,)))
     _, best_theta = jax.lax.fori_loop(0, num_angles, coarse_body, init)
-    best_theta = best_theta[:k]
 
-    # ---- per-detection refinement at full resolution ----
-    # Each pixel evaluates its own detection's candidate angle, so one
-    # segment pass refines every detection simultaneously.
+    # ---- per-detection refinement around the coarse angle --------------
     coarse_step = (jnp.pi / 2) / num_angles
-    best_theta_k1 = jnp.concatenate([best_theta, jnp.zeros((1,))])
-    best_area_k1 = jnp.full((k1,), jnp.inf)
 
     def refine_body(r, carry):
         best_area, best_t = carry
         frac = (r / max(refine_steps - 1, 1)) * 2.0 - 1.0  # [-1, 1]
-        delta = frac * coarse_step
-        cand = best_theta_k1 + delta  # [k1] candidate per det (fixed base)
-        theta_px = cand[det_id]
-        umin, umax, vmin, vmax = _extents_at_angles(
-            xs_f, ys_f, det_id, theta_px, k1
-        )
+        cand = best_theta + frac * coarse_step  # [K]
+        c, s = jnp.cos(cand), jnp.sin(cand)
+        u = xs_f[None, :] * c[:, None] + ys_f[None, :] * s[:, None]
+        v = -xs_f[None, :] * s[:, None] + ys_f[None, :] * c[:, None]
+        umin = jnp.min(jnp.where(onehot, u, jnp.inf), axis=1)
+        umax = jnp.max(jnp.where(onehot, u, -jnp.inf), axis=1)
+        vmin = jnp.min(jnp.where(onehot, v, jnp.inf), axis=1)
+        vmax = jnp.max(jnp.where(onehot, v, -jnp.inf), axis=1)
         a = (umax - umin) * (vmax - vmin)
         better = a < best_area
         return jnp.where(better, a, best_area), jnp.where(better, cand, best_t)
 
-    _, theta_k1 = jax.lax.fori_loop(
-        0, refine_steps, refine_body, (best_area_k1, best_theta_k1)
+    _, theta = jax.lax.fori_loop(
+        0, refine_steps, refine_body, (jnp.full((k,), jnp.inf), best_theta)
     )
 
-    # ---- final extents + corners at the refined angle ----
-    theta_px = theta_k1[det_id]
-    umin, umax, vmin, vmax = _extents_at_angles(
-        xs_f, ys_f, det_id, theta_px, k1
-    )
-    theta = theta_k1[:k]
-    umin, umax, vmin, vmax = umin[:k], umax[:k], vmin[:k], vmax[:k]
-
+    # ---- final extents + corners at the refined angle ------------------
     c, s = jnp.cos(theta), jnp.sin(theta)
-    # corners in (u, v) rect space -> rotate back to (x, y)
+    u = xs_f[None, :] * c[:, None] + ys_f[None, :] * s[:, None]
+    v = -xs_f[None, :] * s[:, None] + ys_f[None, :] * c[:, None]
+    # component pixels cover [coord - st/2, coord + st/2); expand extents
+    # by the half-cell radius so stride quantization doesn't shrink rects
+    half = (st - 1) / 2 + 0.5
+    umin = jnp.min(jnp.where(onehot, u, jnp.inf), axis=1) - half
+    umax = jnp.max(jnp.where(onehot, u, -jnp.inf), axis=1) + half
+    vmin = jnp.min(jnp.where(onehot, v, jnp.inf), axis=1) - half
+    vmax = jnp.max(jnp.where(onehot, v, -jnp.inf), axis=1) + half
+
     uu = jnp.stack([umin, umax, umax, umin], axis=1)  # [K, 4]
     vv = jnp.stack([vmin, vmin, vmax, vmax], axis=1)
     px = uu * c[:, None] - vv * s[:, None]
@@ -217,7 +235,7 @@ def db_postprocess(
     by2 = jnp.clip(jnp.max(py, axis=1), 0, h)
     boxes = jnp.stack([bx1, by1, bx2, by2], axis=1)
 
-    # ---- confidence: mean prob inside AABB via integral image ----
+    # ---- confidence: mean prob inside AABB via full-res integral image --
     ii = jnp.pad(jnp.cumsum(jnp.cumsum(prob_map, 0), 1), ((1, 0), (1, 0)))
     ix1 = jnp.clip(bx1.astype(jnp.int32), 0, w - 1)
     iy1 = jnp.clip(by1.astype(jnp.int32), 0, h - 1)
@@ -227,18 +245,21 @@ def db_postprocess(
     npix = ((ix2 - ix1) * (iy2 - iy1)).astype(jnp.float32)
     scores = box_sum / jnp.maximum(npix, 1.0)
 
-    # Deterministic ordering: by area descending (top_k already sorted).
     # Empty top-K slots carry inf extents; zero them with `where` (a
     # multiply would propagate inf * 0 = nan).
     def _mask(x):
         m = valid.reshape((k,) + (1,) * (x.ndim - 1))
         return jnp.where(m, x, 0.0)
 
+    # AABB extents (full-res space) for callers that need them
+    xmin, xmax = _masked_minmax(xs_f, onehot)
+    ymin, ymax = _masked_minmax(ys_f, onehot)
+
     return {
         "boxes": _mask(boxes),
         "polygons": _mask(polygons),
         "scores": _mask(scores),
-        "areas": top_areas,
+        "areas": areas,
         "valid": valid,
         "xmin": _mask(xmin), "xmax": _mask(xmax),
         "ymin": _mask(ymin), "ymax": _mask(ymax),

@@ -1,0 +1,144 @@
+"""Multi-stream inference engine: async micro-batching across videos.
+
+The reference achieves multi-video concurrency with N Celery worker
+replicas, one GPU each, batch=1 per frame (SURVEY.md §2.3). On TPU the
+equivalent is ONE engine per chip that interleaves frames from many
+streams into the same fused device program: a scheduler thread collects
+frames (grouped by resolution, since shapes are static), pads to the
+engine batch size, dispatches, and resolves per-frame futures.
+
+This is BASELINE.json config #5: "multi-stream concurrent videos with
+async micro-batching".
+"""
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .pipeline import VideoTextPipeline
+
+logger = logging.getLogger(__name__)
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        pipeline: Optional[VideoTextPipeline] = None,
+        max_wait_ms: float = 20.0,
+        **pipeline_kwargs,
+    ):
+        self.pipeline = pipeline or VideoTextPipeline(**pipeline_kwargs)
+        self.batch_size = self.pipeline.batch_size
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue[Tuple[Tuple[int, int], np.ndarray, Future]]" = (
+            queue.Queue()
+        )
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def submit_frame(self, frame: np.ndarray) -> Future:
+        """Enqueue one BGR frame; resolves to the frame's detection list
+        (pipeline wire format)."""
+        fut: Future = Future()
+        self._q.put((frame.shape[:2], frame, fut))
+        return fut
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+    def _loop(self):
+        buckets: Dict[Tuple[int, int], List[Tuple[np.ndarray, Future]]] = {}
+        deadline: Dict[Tuple[int, int], float] = {}
+        while not self._stop.is_set():
+            try:
+                shape, frame, fut = self._q.get(timeout=self.max_wait / 2)
+                buckets.setdefault(shape, []).append((frame, fut))
+                deadline.setdefault(shape, time.time() + self.max_wait)
+            except queue.Empty:
+                pass
+            now = time.time()
+            for shape in list(buckets):
+                items = buckets[shape]
+                if len(items) >= self.batch_size or (
+                    items and now >= deadline[shape]
+                ):
+                    batch = items[: self.batch_size]
+                    buckets[shape] = items[self.batch_size:]
+                    if buckets[shape]:
+                        deadline[shape] = now + self.max_wait
+                    else:
+                        del buckets[shape]
+                        del deadline[shape]
+                    self._run_batch(batch)
+
+    def _run_batch(self, items: List[Tuple[np.ndarray, Future]]):
+        try:
+            n = len(items)
+            frames = np.stack(
+                [f for f, _ in items]
+                + [items[-1][0]] * (self.batch_size - n)
+            )
+            valid = np.zeros(self.batch_size, bool)
+            valid[:n] = True
+            per_frame = self.pipeline._process_batch(frames, valid)
+            for i, (_, fut) in enumerate(items):
+                fut.set_result(per_frame[i])
+        except Exception as e:  # resolve futures even on failure
+            logger.exception("engine batch failed")
+            for _, fut in items:
+                if not fut.done():
+                    fut.set_exception(e)
+
+    # ------------------------------------------------------------------
+    def process_videos(
+        self, video_paths: List[str], target_fps: float = 10.0
+    ) -> Dict[str, Dict[str, Any]]:
+        """Process several videos concurrently through one engine.
+
+        Decoders run in parallel threads feeding the shared micro-batch
+        queue; results keep per-video frame order.
+        """
+        from ..core.schemas import summarize
+
+        results: Dict[str, Dict[str, Any]] = {}
+        lock = threading.Lock()
+
+        def worker(path: str):
+            t0 = time.time()
+            vp = self.pipeline.video_processor
+            pending: List[Tuple[int, float, Future]] = []
+            for frame, idx, ts in vp.extract_frames_at_fps(path, target_fps):
+                pending.append((idx, ts, self.submit_frame(frame)))
+            frames_out = []
+            for idx, ts, fut in pending:
+                dets = fut.result(timeout=600)
+                frames_out.append(
+                    {"frame_number": idx, "timestamp": ts, "detections": dets}
+                )
+            elapsed = time.time() - t0
+            with lock:
+                results[path] = {
+                    "status": "success",
+                    "results": frames_out,
+                    "summary": summarize(frames_out, elapsed, len(frames_out)),
+                    "video_info": vp.get_video_info(path),
+                }
+
+        threads = [
+            threading.Thread(target=worker, args=(p,)) for p in video_paths
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return results

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.schemas import summarize
-from ..ops.crop import crop_and_resize_boxes
+from ..ops.crop import crop_and_resize_boxes_mm as crop_and_resize_boxes
 from ..ops.db_postprocess import db_postprocess
 from ..ops.preprocess import preprocess_frames
 from ..video.processor import VideoProcessor
@@ -82,14 +82,25 @@ class VideoTextPipeline:
 
     # ------------------------------------------------------------------
     def _build_detect_crop(self):
+        """One fused device program per frame batch.
+
+        detect -> postprocess -> crop every slot -> (CRNN path only)
+        recognize every slot + CTC-reduce, all inside a single jit: one
+        dispatch and one small host transfer per batch. Recognizing all
+        B*K crop slots unconditionally costs ~milliseconds of MXU time
+        and removes every host-side decision from the hot loop (the
+        per-crop Python loop is the reference's biggest cost,
+        SURVEY.md §3.3).
+        """
         model = self.detector.model
         size = self.detector.input_size
         max_dets = self.max_dets
         out_h, out_w = self.crop_hw
         transformer_norm = self.use_transformer
+        crnn = None if self.use_transformer else self.recognizer.crnn
 
         @jax.jit
-        def run(variables, frames_u8, thresh):
+        def run(variables, rec_variables, frames_u8, thresh):
             b, h, w = frames_u8.shape[:3]
             x = preprocess_frames(frames_u8, out_size=size)
             prob = model.apply(variables, x)["probability"][..., 0]
@@ -107,7 +118,14 @@ class VideoTextPipeline:
             if transformer_norm:
                 # BGR [0,1] -> RGB, mean/std 0.5 (TrOCR processor norm)
                 crops = (crops[..., ::-1] - 0.5) / 0.5
-            return post, crops
+                return post, crops, None
+            from ..ops.ctc import ctc_greedy_decode_arrays
+
+            logits = crnn.apply(rec_variables, crops)
+            ctc = ctc_greedy_decode_arrays(logits)
+            # drop the big per-step prob matrix; host needs ids/emit/conf
+            ctc = {k: ctc[k] for k in ("ids", "emit", "confidence")}
+            return post, crops, ctc
 
         return run
 
@@ -142,18 +160,32 @@ class VideoTextPipeline:
         return run
 
     # ------------------------------------------------------------------
+    def _dispatch_batch(self, frames: np.ndarray):
+        """Enqueue the fused device program (non-blocking: JAX dispatch
+        is async, so the TPU crunches this batch while the host decodes
+        the next one)."""
+        rec_vars = (
+            None if self.use_transformer else self.recognizer.crnn_variables
+        )
+        return self._detect_crop(
+            self.detector.variables,
+            rec_vars,
+            jnp.asarray(frames),
+            jnp.float32(self.confidence_threshold),
+        )
+
     def _process_batch(
-        self, frames: np.ndarray, valid_frames: np.ndarray
+        self, frames: np.ndarray, valid_frames: np.ndarray, handles=None
     ) -> List[List[Dict[str, Any]]]:
         """One frame batch -> per-frame lists of recognized-region dicts."""
         b, h, w = frames.shape[:3]
         size = self.detector.input_size
-        post, crops_flat = self._detect_crop(
-            self.detector.variables,
-            jnp.asarray(frames),
-            jnp.float32(self.confidence_threshold),
-        )
+        if handles is None:
+            handles = self._dispatch_batch(frames)
+        post, crops_flat, ctc = handles
         post = jax.device_get(post)
+        if ctc is not None:
+            ctc = jax.device_get(ctc)
 
         # Host-side: decide which flat slots actually need recognition
         # (valid component + >10px box in original coords, the
@@ -187,16 +219,27 @@ class VideoTextPipeline:
                     "polygon": np.round(polys[i, j]).astype(int).tolist(),
                 }
 
-        # Recognize in fixed-size chunks (static shape -> no recompiles).
         texts: Dict[int, Any] = {}
-        m = self.rec_chunk
-        for c0 in range(0, len(need), m):
-            chunk = need[c0:c0 + m]
-            sel = np.zeros(m, np.int32)
-            sel[: len(chunk)] = chunk
-            t, conf = self._recognize_sel(crops_flat, sel)
-            for k, flat in enumerate(chunk):
-                texts[flat] = (t[k], float(conf[k]))
+        if ctc is not None:
+            # CRNN path: every slot already recognized on device.
+            from ..ops.ctc import ids_to_text
+
+            if need:
+                sel = np.asarray(need)
+                decoded = ids_to_text(ctc["ids"][sel], ctc["emit"][sel])
+                for k, flat in enumerate(need):
+                    texts[flat] = (decoded[k], float(ctc["confidence"][flat]))
+        else:
+            # Transformer path: autoregressive decode is too heavy to run
+            # on all slots; recognize the needed crops in fixed chunks.
+            m = self.rec_chunk
+            for c0 in range(0, len(need), m):
+                chunk = need[c0:c0 + m]
+                sel = np.zeros(m, np.int32)
+                sel[: len(chunk)] = chunk
+                t, conf = self._recognize_sel(crops_flat, sel)
+                for k, flat in enumerate(chunk):
+                    texts[flat] = (t[k], float(conf[k]))
 
         results: List[List[Dict[str, Any]]] = [[] for _ in range(b)]
         for flat in need:
@@ -245,12 +288,22 @@ class VideoTextPipeline:
 
             all_results: List[Dict[str, Any]] = []
             frame_count = 0
-            for batch in self.video_processor.extract_frame_batches(
+
+            # Software pipeline: dispatch batch k+1 to the device before
+            # collecting batch k, so host decode, host assembly, and TPU
+            # compute overlap (JAX dispatch is asynchronous).
+            pending = None  # (batch, handles)
+            batches = self.video_processor.extract_frame_batches(
                 video_path,
                 batch_size=self.batch_size,
                 target_fps=self.target_fps,
-            ):
-                per_frame = self._process_batch(batch["frames"], batch["valid"])
+            )
+
+            async def collect(batch, handles):
+                nonlocal frame_count
+                per_frame = self._process_batch(
+                    batch["frames"], batch["valid"], handles=handles
+                )
                 nvalid = int(batch["valid"].sum())
                 for i in range(nvalid):
                     all_results.append(
@@ -268,6 +321,14 @@ class VideoTextPipeline:
                     await progress_callback(
                         progress, frame_count, total_expected
                     )
+
+            for batch in batches:
+                handles = self._dispatch_batch(batch["frames"])
+                if pending is not None:
+                    await collect(*pending)
+                pending = (batch, handles)
+            if pending is not None:
+                await collect(*pending)
 
             processing_time = time.time() - start_time
             summary = summarize(all_results, processing_time, frame_count)
