@@ -43,10 +43,14 @@ class TextRecognizer:
         pad_batch: int = 128,
         seed: int = 0,
         transformer_config=None,
+        decoder: str = "greedy",
+        beam_width: int = 8,
     ):
         self.use_transformer = use_transformer
         self.vocab = build_vocab()
         self.pad_batch = pad_batch
+        self.decoder = decoder
+        self.beam_width = beam_width
 
         if use_transformer:
             from .trocr_runtime import TransformerRecognizer
@@ -68,6 +72,9 @@ class TextRecognizer:
                 )
             self._crnn_jit = jax.jit(
                 lambda v, x: ctc_greedy_decode_arrays(self.crnn.apply(v, x))
+            )
+            self._crnn_logprobs_jit = jax.jit(
+                lambda v, x: jax.nn.log_softmax(self.crnn.apply(v, x), axis=-1)
             )
 
     # ------------------------------------------------------------------
@@ -134,6 +141,31 @@ class TextRecognizer:
             crops = jnp.concatenate(
                 [crops, jnp.zeros((pad,) + crops.shape[1:], crops.dtype)]
             )
+        if self.decoder == "beam":
+            return self._beam_decode(crops, n)
         arrs = jax.device_get(self._crnn_jit(self.crnn_variables, crops))
         texts = ids_to_text(arrs["ids"][:n], arrs["emit"][:n])
         return texts, arrs["confidence"][:n]
+
+    def _beam_decode(self, crops: jnp.ndarray, n: int):
+        """CTC prefix beam search on the native (C++) decoder."""
+        from ..models.crnn import ID_TO_CHAR
+        from ..native import ctc_beam_decode
+
+        lp = np.asarray(
+            self._crnn_logprobs_jit(self.crnn_variables, crops)
+        )[:n]
+        seqs, scores = ctc_beam_decode(lp, beam_width=self.beam_width)
+        texts = [
+            "".join(
+                ID_TO_CHAR.get(i, "")
+                for i in seq
+                if len(ID_TO_CHAR.get(i, "")) == 1
+            )
+            for seq in seqs
+        ]
+        # beam scores are log-probs of the full labeling; map to (0, 1]
+        confs = np.exp(
+            np.clip(scores / np.maximum([len(s) for s in seqs], 1), -20, 0)
+        )
+        return texts, confs.astype(np.float32)

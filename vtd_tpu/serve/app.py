@@ -149,6 +149,13 @@ def create_app(
 
         app.mount("/metrics", metrics_handler)
 
+    # -- web UI (frontend parity: app/frontend/main.py) --------------------
+    @app.get("/app")
+    def webapp(request: Request) -> Response:
+        from ..frontend.webapp import INDEX_HTML
+
+        return Response(200, INDEX_HTML, media_type="text/html; charset=utf-8")
+
     # ======================= auth =========================================
     @app.post("/api/v1/auth/register")
     def register(request: Request) -> Response:
