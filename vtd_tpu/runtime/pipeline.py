@@ -53,6 +53,7 @@ class VideoTextPipeline:
         target_fps: float = 10.0,
         rec_chunk: Optional[int] = None,
         detector_input_size: int = 640,
+        host_downscale: Optional[int] = None,
         recognizer_kwargs: Optional[Dict[str, Any]] = None,
     ):
         self.detector = TextDetector(
@@ -69,6 +70,11 @@ class VideoTextPipeline:
         self.batch_size = batch_size
         self.max_dets = max_dets
         self.target_fps = target_fps
+        # Host-side resize before upload: with a 640 detector input the
+        # device never needs full-res pixels except for crop sampling,
+        # so shipping (downscale x downscale) frames cuts H2D bandwidth
+        # by (H*W)/downscale^2 at a small crop-resolution cost.
+        self.host_downscale = host_downscale
         self.use_transformer = use_transformer_ocr
         if use_transformer_ocr:
             s = self.recognizer.transformer.cfg.image_size
@@ -115,17 +121,30 @@ class VideoTextPipeline:
                 )
             )(frames_u8, boxes_orig, post["valid"])
             crops = crops.reshape((b * max_dets, out_h, out_w, 3))
+
+            # Pack detection outputs into ONE tensor: every fetched array
+            # pays a full host<->device round-trip on the serving path, so
+            # 1 transfer beats 6. Layout: [B, K, 14] =
+            # boxes(4) + polygon(8) + score(1) + valid(1).
+            det_pack = jnp.concatenate(
+                [
+                    post["boxes"],
+                    post["polygons"].reshape(b, max_dets, 8),
+                    post["scores"][..., None],
+                    post["valid"].astype(jnp.float32)[..., None],
+                ],
+                axis=-1,
+            )
             if transformer_norm:
                 # BGR [0,1] -> RGB, mean/std 0.5 (TrOCR processor norm)
                 crops = (crops[..., ::-1] - 0.5) / 0.5
-                return post, crops, None
+                return det_pack, crops, None, None
             from ..ops.ctc import ctc_greedy_decode_arrays
 
             logits = crnn.apply(rec_variables, crops)
             ctc = ctc_greedy_decode_arrays(logits)
-            # drop the big per-step prob matrix; host needs ids/emit/conf
-            ctc = {k: ctc[k] for k in ("ids", "emit", "confidence")}
-            return post, crops, ctc
+            # ids alone suffice: the emit mask is recomputed on the host
+            return det_pack, crops, ctc["ids"], ctc["confidence"]
 
         return run
 
@@ -175,25 +194,38 @@ class VideoTextPipeline:
         )
 
     def _process_batch(
-        self, frames: np.ndarray, valid_frames: np.ndarray, handles=None
+        self, frames: np.ndarray, valid_frames: np.ndarray, handles=None,
+        orig_size=None,
     ) -> List[List[Dict[str, Any]]]:
-        """One frame batch -> per-frame lists of recognized-region dicts."""
+        """One frame batch -> per-frame lists of recognized-region dicts.
+
+        ``orig_size``: true (h, w) of the source when ``frames`` were
+        host-downscaled; detection coordinates scale back to it.
+        """
         b, h, w = frames.shape[:3]
+        if orig_size is not None:
+            h, w = orig_size
         size = self.detector.input_size
         if handles is None:
             handles = self._dispatch_batch(frames)
-        post, crops_flat, ctc = handles
-        post = jax.device_get(post)
-        if ctc is not None:
-            ctc = jax.device_get(ctc)
+        det_pack, crops_flat, ctc_ids, ctc_conf = handles
+        det_pack = np.asarray(jax.device_get(det_pack))
+        boxes = det_pack[..., 0:4]
+        polys = det_pack[..., 4:12].reshape(b, self.max_dets, 4, 2)
+        scores = det_pack[..., 12]
+        valid = det_pack[..., 13] > 0.5
+        ctc = None
+        if ctc_ids is not None:
+            ids = np.asarray(jax.device_get(ctc_ids))
+            conf = np.asarray(jax.device_get(ctc_conf))
+            prev = np.concatenate(
+                [np.full((ids.shape[0], 1), -1, ids.dtype), ids[:, :-1]],
+                axis=1,
+            )
+            from ..models.crnn import BLANK_ID, UNK_ID
 
-        # Host-side: decide which flat slots actually need recognition
-        # (valid component + >10px box in original coords, the
-        # reference's size filter at text_detector.py:166).
-        boxes = post["boxes"]
-        polys = post["polygons"]
-        scores = post["scores"]
-        valid = post["valid"]
+            emit = (ids != BLANK_ID) & (ids != prev) & (ids != UNK_ID)
+            ctc = {"ids": ids, "emit": emit, "confidence": conf}
         sx, sy = w / size, h / size
 
         need: List[int] = []
@@ -262,6 +294,7 @@ class VideoTextPipeline:
         video_path: str,
         output_dir: str = "",
         progress_callback: Optional[Callable] = None,
+        resume_file: Optional[str] = None,
     ) -> Dict[str, Any]:
         """Process a whole video (parity: pipeliine.py:34-91).
 
@@ -270,12 +303,35 @@ class VideoTextPipeline:
         extracted* (the reference divides extracted count by the source
         frame count, so progress tops out at target_fps/src_fps); and
         detection/recognition run batched on device.
+
+        ``resume_file``: checkpoint/resume of a partially processed
+        video — the reference restarts a retried job from frame 0
+        (SURVEY.md §5). When set, each completed batch's frame results
+        are appended as JSON lines; on restart, frames already present
+        are loaded and skipped.
         """
+        import json as _json
+
         try:
             start_time = time.time()
             video_info = self.video_processor.get_video_info(video_path)
             if not video_info:
                 raise ValueError(f"Cannot open video: {video_path}")
+
+            done_frames: Dict[int, Dict[str, Any]] = {}
+            ckpt_fh = None
+            if resume_file:
+                import os as _os
+
+                if _os.path.exists(resume_file):
+                    with open(resume_file) as fh:
+                        for line in fh:
+                            try:
+                                rec = _json.loads(line)
+                                done_frames[rec["frame_number"]] = rec
+                            except ValueError:
+                                continue  # torn write from a crash
+                ckpt_fh = open(resume_file, "a")
 
             src_fps = video_info.get("fps", 0) or 0
             total_src = video_info.get("frame_count", 0)
@@ -297,22 +353,35 @@ class VideoTextPipeline:
                 video_path,
                 batch_size=self.batch_size,
                 target_fps=self.target_fps,
+                resize_to=self.host_downscale,
             )
 
             async def collect(batch, handles):
                 nonlocal frame_count
-                per_frame = self._process_batch(
-                    batch["frames"], batch["valid"], handles=handles
+                per_frame = (
+                    self._process_batch(
+                        batch["frames"], batch["valid"], handles=handles,
+                        orig_size=batch.get("orig_size"),
+                    )
+                    if handles is not None
+                    else None
                 )
                 nvalid = int(batch["valid"].sum())
                 for i in range(nvalid):
-                    all_results.append(
-                        {
-                            "frame_number": int(batch["frame_numbers"][i]),
+                    fn = int(batch["frame_numbers"][i])
+                    if per_frame is None:
+                        rec = done_frames[fn]  # restored from checkpoint
+                    else:
+                        rec = {
+                            "frame_number": fn,
                             "timestamp": float(batch["timestamps"][i]),
                             "detections": per_frame[i],
                         }
-                    )
+                        if ckpt_fh is not None:
+                            ckpt_fh.write(_json.dumps(rec) + "\n")
+                    all_results.append(rec)
+                if ckpt_fh is not None and per_frame is not None:
+                    ckpt_fh.flush()
                 frame_count += nvalid
                 if progress_callback:
                     progress = (
@@ -323,12 +392,22 @@ class VideoTextPipeline:
                     )
 
             for batch in batches:
-                handles = self._dispatch_batch(batch["frames"])
+                already_done = all(
+                    int(fn) in done_frames
+                    for fn, v in zip(batch["frame_numbers"], batch["valid"])
+                    if v
+                )
+                handles = (
+                    None if already_done
+                    else self._dispatch_batch(batch["frames"])
+                )
                 if pending is not None:
                     await collect(*pending)
                 pending = (batch, handles)
             if pending is not None:
                 await collect(*pending)
+            if ckpt_fh is not None:
+                ckpt_fh.close()
 
             processing_time = time.time() - start_time
             summary = summarize(all_results, processing_time, frame_count)

@@ -55,6 +55,37 @@ def _run(coro):
     return asyncio.run(coro)
 
 
+def _register_queue_metrics():
+    """Worker-signal metric hooks (parity: the reference's Celery signal
+    handlers exporting task counters/durations, celery_app.py:54-105)."""
+    from ..obs.metrics import metrics_collector
+
+    def on_postrun(rec):
+        duration = (rec.finished_at or 0) - (rec.started_at or 0)
+        metrics_collector.record_task(rec.name, rec.state, max(duration, 0))
+        if rec.name == "process_video_task" and rec.state == "SUCCESS":
+            metrics_collector.record_processing_duration(max(duration, 0))
+            result = rec.result or {}
+            metrics_collector.record_text_detections(
+                int(result.get("total_detections", 0))
+            )
+
+    def on_prerun(rec):
+        metrics_collector.set_active_jobs(
+            len(
+                [
+                    r
+                    for r in task_queue.records.values()
+                    if r.state in ("STARTED", "PROGRESS")
+                ]
+            )
+        )
+
+    if on_postrun not in task_queue.on_postrun:
+        task_queue.on_postrun.append(on_postrun)
+        task_queue.on_prerun.append(on_prerun)
+
+
 def _public_user(user: Dict[str, Any]) -> Dict[str, Any]:
     return {k: v for k, v in user.items() if k != "hashed_password"}
 
@@ -74,6 +105,12 @@ def create_app(
             os.makedirs(d, exist_ok=True)
         if start_worker:
             register_beat_schedule()
+            _register_queue_metrics()
+        from ..obs.metrics import metrics_collector
+
+        metrics_collector.set_app_info(
+            {"app_name": settings.app_name, "version": settings.version}
+        )
         logger.info("Video Text Detection API started")
 
     app.on_startup.append(startup)
@@ -475,7 +512,9 @@ def main():  # pragma: no cover
     parser.add_argument("--port", type=int, default=8000)
     args = parser.parse_args()
 
-    logging.basicConfig(level=getattr(logging, settings.log_level.upper()))
+    from ..obs.logging import configure_logging
+
+    configure_logging()  # structured JSON logs (app/main.py:20-35 parity)
     app = create_app()
     server = Server(app, args.host, args.port)
     logger.info("Serving on %s:%d", args.host, server.port)

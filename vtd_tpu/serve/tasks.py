@@ -117,11 +117,18 @@ def process_video_task(self, video_id: int, config: Dict[str, Any]):
                 },
             )
 
+        # Partial-progress checkpoint: a retried job resumes where the
+        # previous attempt stopped instead of re-OCRing from frame 0.
+        os.makedirs(settings.temp_dir, exist_ok=True)
+        resume_file = os.path.join(
+            settings.temp_dir, f"resume_video_{video_id}.jsonl"
+        )
         results = asyncio.run(
             pipeline.process_video(
                 video_path=video_path,
                 output_dir=settings.output_dir,
                 progress_callback=progress_callback,
+                resume_file=resume_file,
             )
         )
 
@@ -129,6 +136,8 @@ def process_video_task(self, video_id: int, config: Dict[str, Any]):
             raise ValueError(
                 f"Processing failed: {results.get('error', 'Unknown error')}"
             )
+        if os.path.exists(resume_file):
+            os.unlink(resume_file)
 
         save_results_to_database(db, video_id, results)
         ProcessingJobCRUD.update_by_task_id(

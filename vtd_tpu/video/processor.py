@@ -80,10 +80,15 @@ class VideoProcessor:
             frame_number = 0
             extracted = 0
             while True:
-                ret, frame = cap.read()
-                if not ret:
+                # grab() decodes but skips the colorspace-convert/copy of
+                # retrieve(); sampled frames pay the full cost, skipped
+                # frames only the decode.
+                if not cap.grab():
                     break
                 if frame_number % interval == 0:
+                    ret, frame = cap.retrieve()
+                    if not ret:
+                        break
                     ts = frame_number / source_fps if source_fps > 0 else 0.0
                     yield frame, extracted, ts
                     extracted += 1
@@ -131,6 +136,7 @@ class VideoProcessor:
         batch_size: int = 8,
         target_fps: float = 10,
         prefetch: int = 2,
+        resize_to: Optional[int] = None,
     ) -> Generator[Dict[str, np.ndarray], None, None]:
         """Yield dicts of stacked frames for one device transfer each.
 
@@ -140,8 +146,16 @@ class VideoProcessor:
         daemon thread feeding a bounded queue (``prefetch`` batches deep),
         overlapping CPU decode with TPU compute.
 
-        Yields {'frames': [B,H,W,3] u8, 'frame_numbers': [B] i64,
-                'timestamps': [B] f64, 'valid': [B] bool}.
+        ``resize_to``: host-side square resize before batching. When the
+        detector input is smaller than the source (it is: 640x640), the
+        full-res pixels never reach the device path except for crop
+        sampling, so shipping ``resize_to``-sized frames cuts host->
+        device bandwidth ~(HW / resize_to^2)x; original dims are kept in
+        ``orig_size`` so detections scale back exactly.
+
+        Yields {'frames': [B,S,S,3] u8, 'frame_numbers': [B] i64,
+                'timestamps': [B] f64, 'valid': [B] bool,
+                'orig_size': (h, w)}.
         """
         q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
         stop = threading.Event()
@@ -150,6 +164,7 @@ class VideoProcessor:
             buf_frames: List[np.ndarray] = []
             buf_nums: List[int] = []
             buf_ts: List[float] = []
+            orig_size: List[Tuple[int, int]] = []
 
             def flush():
                 n = len(buf_frames)
@@ -166,6 +181,7 @@ class VideoProcessor:
                         "frame_numbers": np.asarray(nums, np.int64),
                         "timestamps": np.asarray(ts, np.float64),
                         "valid": valid,
+                        "orig_size": orig_size[0],
                     }
                 )
                 buf_frames.clear()
@@ -178,6 +194,15 @@ class VideoProcessor:
                 ):
                     if stop.is_set():
                         return
+                    if not orig_size:
+                        orig_size.append(frame.shape[:2])
+                    if resize_to is not None and frame.shape[:2] != (
+                        resize_to, resize_to,
+                    ):
+                        frame = cv2.resize(
+                            frame, (resize_to, resize_to),
+                            interpolation=cv2.INTER_LINEAR,
+                        )
                     buf_frames.append(frame)
                     buf_nums.append(idx)
                     buf_ts.append(ts)
