@@ -71,10 +71,11 @@ def main() -> None:
 
         pipeline = VideoTextPipeline(
             use_transformer_ocr=False,
-            batch_size=8,
+            batch_size=16,
             max_dets=64,
             target_fps=10.0,
             host_downscale=640,
+            transfer_format="yuv420",
         )
 
         # Warmup: compile every program shape on a short prefix.

@@ -118,6 +118,56 @@ def test_rectify_polygons_straightens_rotated_text(rng):
     assert out[0, 8:24, 16:112].mean() > 0.95
 
 
+def test_yuv420_roundtrip(rng):
+    import jax.numpy as jnp
+    from vtd_tpu.ops.preprocess import yuv420_to_bgr
+
+    bgr = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    packed = np.stack(
+        [cv2.cvtColor(f, cv2.COLOR_BGR2YUV_I420) for f in bgr]
+    )
+    rec = np.asarray(yuv420_to_bgr(jnp.asarray(packed))).astype(np.float32)
+    # chroma subsampling loses detail on random noise; compare against
+    # OpenCV's own inverse, which suffers identically
+    ref = np.stack(
+        [cv2.cvtColor(p, cv2.COLOR_YUV2BGR_I420) for p in packed]
+    ).astype(np.float32)
+    err = np.abs(rec - ref).mean()
+    assert err < 3.0, err
+
+
+def test_yuv_pipeline_matches_bgr():
+    """Preprocessing on YUV-shipped frames approximates the BGR path on
+    realistic (smooth-chroma) content — 4:2:0 subsampling is only lossy
+    on per-pixel random chroma, which no real footage has."""
+    import jax.numpy as jnp
+    from vtd_tpu.ops.preprocess import preprocess_frames, yuv420_to_bgr
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    bgr = np.stack(
+        [
+            (xx * 2).astype(np.uint8),
+            (yy * 2).astype(np.uint8),
+            ((xx + yy)).astype(np.uint8),
+        ],
+        axis=-1,
+    )[None].repeat(2, axis=0)
+    cv2.putText(bgr[0], "TXT", (5, 40), cv2.FONT_HERSHEY_SIMPLEX, 1, (0, 0, 0), 2)
+    packed = np.stack(
+        [cv2.cvtColor(f, cv2.COLOR_BGR2YUV_I420) for f in bgr]
+    )
+    a = np.asarray(
+        preprocess_frames(jnp.asarray(bgr), out_size=64, dtype=jnp.float32)
+    )
+    b = np.asarray(
+        preprocess_frames(
+            yuv420_to_bgr(jnp.asarray(packed)), out_size=64,
+            dtype=jnp.float32,
+        )
+    )
+    assert np.abs(a - b).mean() < 0.15  # normalized units
+
+
 def test_ctc_greedy_decode():
     import jax.numpy as jnp
     from vtd_tpu.models.crnn import CRNN_VOCAB

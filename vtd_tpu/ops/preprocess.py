@@ -73,6 +73,36 @@ def resize_with_padding(
 
 
 @jax.jit
+def yuv420_to_bgr(packed: jnp.ndarray) -> jnp.ndarray:
+    """I420-packed [B, H*3/2, W] uint8 -> BGR [B, H, W, 3] uint8.
+
+    Shipping YUV420 instead of BGR halves host->device bytes; the
+    inverse conversion (BT.601 full-range, matching OpenCV's
+    COLOR_BGR2YUV_I420) is a few fused elementwise ops on device.
+    """
+    b, h15, w = packed.shape
+    h = (h15 * 2) // 3
+    y = packed[:, :h, :].astype(jnp.float32)
+    u = packed[:, h:h + h // 4, :].reshape(b, h // 2, w // 2)
+    v = packed[:, h + h // 4:, :].reshape(b, h // 2, w // 2)
+
+    def up2(x):
+        x = x[:, :, None, :, None]
+        x = jnp.broadcast_to(x, (b, h // 2, 2, w // 2, 2))
+        return x.reshape(b, h, w).astype(jnp.float32)
+
+    # video-range BT.601, matching cv2's COLOR_YUV2BGR_I420
+    u = up2(u) - 128.0
+    v = up2(v) - 128.0
+    yc = 1.164 * (y - 16.0)
+    r = yc + 1.596 * v
+    g = yc - 0.391 * u - 0.813 * v
+    bl = yc + 2.018 * u
+    bgr = jnp.stack([bl, g, r], axis=-1)
+    return jnp.clip(jnp.round(bgr), 0, 255).astype(jnp.uint8)
+
+
+@jax.jit
 def normalize_frame(frame: jnp.ndarray) -> jnp.ndarray:
     """u8 -> f32 in [0,1] (ImageProcessor.normalize_image parity)."""
     return frame.astype(jnp.float32) / 255.0

@@ -54,6 +54,7 @@ class VideoTextPipeline:
         rec_chunk: Optional[int] = None,
         detector_input_size: int = 640,
         host_downscale: Optional[int] = None,
+        transfer_format: str = "bgr",
         recognizer_kwargs: Optional[Dict[str, Any]] = None,
     ):
         self.detector = TextDetector(
@@ -75,6 +76,9 @@ class VideoTextPipeline:
         # so shipping (downscale x downscale) frames cuts H2D bandwidth
         # by (H*W)/downscale^2 at a small crop-resolution cost.
         self.host_downscale = host_downscale
+        # 'yuv420' ships I420-packed frames (half the bytes of BGR) and
+        # converts on device (ops/preprocess.yuv420_to_bgr).
+        self.transfer_format = transfer_format
         self.use_transformer = use_transformer_ocr
         if use_transformer_ocr:
             s = self.recognizer.transformer.cfg.image_size
@@ -107,6 +111,10 @@ class VideoTextPipeline:
 
         @jax.jit
         def run(variables, rec_variables, frames_u8, thresh):
+            if frames_u8.ndim == 3:  # I420-packed [B, H*3/2, W]
+                from ..ops.preprocess import yuv420_to_bgr
+
+                frames_u8 = yuv420_to_bgr(frames_u8)
             b, h, w = frames_u8.shape[:3]
             x = preprocess_frames(frames_u8, out_size=size)
             prob = model.apply(variables, x)["probability"][..., 0]
@@ -202,7 +210,11 @@ class VideoTextPipeline:
         ``orig_size``: true (h, w) of the source when ``frames`` were
         host-downscaled; detection coordinates scale back to it.
         """
-        b, h, w = frames.shape[:3]
+        if frames.ndim == 3:  # I420-packed
+            b, h15, w = frames.shape
+            h = (h15 * 2) // 3
+        else:
+            b, h, w = frames.shape[:3]
         if orig_size is not None:
             h, w = orig_size
         size = self.detector.input_size
@@ -354,6 +366,7 @@ class VideoTextPipeline:
                 batch_size=self.batch_size,
                 target_fps=self.target_fps,
                 resize_to=self.host_downscale,
+                pixel_format=self.transfer_format,
             )
 
             async def collect(batch, handles):

@@ -137,6 +137,7 @@ class VideoProcessor:
         target_fps: float = 10,
         prefetch: int = 2,
         resize_to: Optional[int] = None,
+        pixel_format: str = "bgr",
     ) -> Generator[Dict[str, np.ndarray], None, None]:
         """Yield dicts of stacked frames for one device transfer each.
 
@@ -153,9 +154,13 @@ class VideoProcessor:
         device bandwidth ~(HW / resize_to^2)x; original dims are kept in
         ``orig_size`` so detections scale back exactly.
 
-        Yields {'frames': [B,S,S,3] u8, 'frame_numbers': [B] i64,
+        ``pixel_format``: 'bgr' ships [B,H,W,3] u8; 'yuv420' ships
+        I420-packed [B, H*3/2, W] u8 — half the bytes — and the device
+        program converts back to BGR (ops/preprocess.yuv420_to_bgr).
+
+        Yields {'frames': u8 array, 'frame_numbers': [B] i64,
                 'timestamps': [B] f64, 'valid': [B] bool,
-                'orig_size': (h, w)}.
+                'orig_size': (h, w), 'pixel_format': str}.
         """
         q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
         stop = threading.Event()
@@ -182,6 +187,7 @@ class VideoProcessor:
                         "timestamps": np.asarray(ts, np.float64),
                         "valid": valid,
                         "orig_size": orig_size[0],
+                        "pixel_format": pixel_format,
                     }
                 )
                 buf_frames.clear()
@@ -203,6 +209,8 @@ class VideoProcessor:
                             frame, (resize_to, resize_to),
                             interpolation=cv2.INTER_LINEAR,
                         )
+                    if pixel_format == "yuv420":
+                        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2YUV_I420)
                     buf_frames.append(frame)
                     buf_nums.append(idx)
                     buf_ts.append(ts)
