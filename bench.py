@@ -71,7 +71,7 @@ def main() -> None:
 
         pipeline = VideoTextPipeline(
             use_transformer_ocr=False,
-            batch_size=16,
+            batch_size=8,
             max_dets=64,
             target_fps=10.0,
             host_downscale=640,

@@ -45,7 +45,10 @@ _NEIGHBOR_SHIFTS = (
 
 
 def connected_components(
-    binary: jnp.ndarray, dense_iters: int = 8, jump_rounds: int = 4
+    binary: jnp.ndarray,
+    dense_iters: int = 8,
+    jump_rounds: int = 4,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """8-connected component labels for a [H, W] bool map.
 
@@ -64,6 +67,12 @@ def connected_components(
     big = jnp.int32(hw)
     labels = jnp.arange(hw, dtype=jnp.int32)  # self-labels
 
+    from .pallas_kernels import neighbor_min_sweeps, pallas_supported
+
+    use_pallas = pallas_supported() if backend == "auto" else (
+        backend == "pallas"
+    )
+
     def neighbor_min(lbl_flat):
         l2d = jnp.where(binary, lbl_flat.reshape(h, w), big)
         padded = jnp.pad(l2d, 1, constant_values=hw)
@@ -74,9 +83,15 @@ def connected_components(
         return out.reshape(-1)
 
     def round_body(_, lbl):
-        lbl = jax.lax.fori_loop(
-            0, dense_iters, lambda i, l: neighbor_min(l), lbl
-        )
+        if use_pallas:
+            # all dense sweeps stay in VMEM (ops/pallas_kernels.py)
+            lbl = neighbor_min_sweeps(
+                binary, lbl.reshape(h, w), iters=dense_iters
+            ).reshape(-1)
+        else:
+            lbl = jax.lax.fori_loop(
+                0, dense_iters, lambda i, l: neighbor_min(l), lbl
+            )
         return lbl[lbl]  # pointer jump (path compression)
 
     return jax.lax.fori_loop(0, jump_rounds, round_body, labels)
