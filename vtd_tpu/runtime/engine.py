@@ -84,13 +84,24 @@ class InferenceEngine:
     def _run_batch(self, items: List[Tuple[np.ndarray, Future]]):
         try:
             n = len(items)
-            frames = np.stack(
-                [f for f, _ in items]
-                + [items[-1][0]] * (self.batch_size - n)
+            orig_size = items[0][0].shape[:2]
+            raw = [f for f, _ in items] + [items[-1][0]] * (
+                self.batch_size - n
             )
+            ds = self.pipeline.host_downscale
+            if ds and orig_size != (ds, ds):
+                import cv2
+
+                raw = [
+                    cv2.resize(f, (ds, ds), interpolation=cv2.INTER_LINEAR)
+                    for f in raw
+                ]
+            frames = np.stack(raw)
             valid = np.zeros(self.batch_size, bool)
             valid[:n] = True
-            per_frame = self.pipeline._process_batch(frames, valid)
+            per_frame = self.pipeline._process_batch(
+                frames, valid, orig_size=orig_size
+            )
             for i, (_, fut) in enumerate(items):
                 fut.set_result(per_frame[i])
         except Exception as e:  # resolve futures even on failure
