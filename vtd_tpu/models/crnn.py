@@ -49,45 +49,53 @@ UNK_ID = CRNN_VOCAB["<unk>"]
 ID_TO_CHAR = {v: k for k, v in CRNN_VOCAB.items()}
 
 
-def _lstm_direction(
+def _bilstm_layer(
     x: jnp.ndarray,
-    w_ih: jnp.ndarray,
-    w_hh: jnp.ndarray,
-    b_ih: jnp.ndarray,
-    b_hh: jnp.ndarray,
-    reverse: bool,
+    w_ih_f, w_hh_f, b_ih_f, b_hh_f,
+    w_ih_r, w_hh_r, b_ih_r, b_hh_r,
 ) -> jnp.ndarray:
-    """One LSTM direction over [B, T, I] -> [B, T, H].
+    """One bidirectional LSTM layer over [B, T, I] -> [B, T, 2H].
 
     Weights use torch layout: w_ih [4H, I], w_hh [4H, H], gate order
-    (input, forget, cell, output).
+    (input, forget, cell, output). Both directions run in ONE lax.scan
+    — the reverse stream is time-flipped and stacked on the batch axis,
+    so each sequential step issues a single [2B, H] x [H, 4H] matmul
+    instead of two half-sized ones (the scan's serial step count is the
+    latency bound on TPU, so fewer, fatter steps win).
     """
-    hidden = w_hh.shape[1]
+    b, t, _ = x.shape
+    hidden = w_hh_f.shape[1]
     x_t = jnp.swapaxes(x, 0, 1)  # [T, B, I]
-    if reverse:
-        x_t = x_t[::-1]
-    # Precompute the input contribution for all timesteps in one matmul.
-    xw = jnp.einsum(
-        "tbi,gi->tbg", x_t, w_ih, preferred_element_type=jnp.float32
-    ) + (b_ih + b_hh)
+    # Precompute input contributions for all timesteps in one matmul.
+    xw_f = jnp.einsum(
+        "tbi,gi->tbg", x_t, w_ih_f, preferred_element_type=jnp.float32
+    ) + (b_ih_f + b_hh_f)
+    xw_r = jnp.einsum(
+        "tbi,gi->tbg", x_t[::-1], w_ih_r, preferred_element_type=jnp.float32
+    ) + (b_ih_r + b_hh_r)
+    xw = jnp.concatenate([xw_f, xw_r], axis=1)  # [T, 2B, 4H]
+    w_hh = jnp.stack([w_hh_f, w_hh_r])  # [2, 4H, H]
 
     def step(carry, xg):
-        h, c = carry
-        gates = xg + jnp.dot(h, w_hh.T, preferred_element_type=jnp.float32)
+        h, c = carry  # [2B, H]
+        h2 = h.reshape(2, b, hidden)
+        hw = jnp.einsum(
+            "dbh,dgh->dbg", h2, w_hh, preferred_element_type=jnp.float32
+        ).reshape(2 * b, 4 * hidden)
+        gates = xg + hw
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
-    b = x.shape[0]
     init = (
-        jnp.zeros((b, hidden), jnp.float32),
-        jnp.zeros((b, hidden), jnp.float32),
+        jnp.zeros((2 * b, hidden), jnp.float32),
+        jnp.zeros((2 * b, hidden), jnp.float32),
     )
-    _, hs = jax.lax.scan(step, init, xw)
-    if reverse:
-        hs = hs[::-1]
-    return jnp.swapaxes(hs, 0, 1)  # [B, T, H]
+    _, hs = jax.lax.scan(step, init, xw)  # [T, 2B, H]
+    fwd = jnp.swapaxes(hs[:, :b], 0, 1)  # [B, T, H]
+    rev = jnp.swapaxes(hs[::-1, b:], 0, 1)
+    return jnp.concatenate([fwd, rev], axis=-1)
 
 
 class BiLSTM(nn.Module):
@@ -102,27 +110,28 @@ class BiLSTM(nn.Module):
         y = x.astype(jnp.float32)
         for layer in range(self.num_layers):
             in_dim = y.shape[-1]
-            outs = []
-            for direction, rev in (("", False), ("_reverse", True)):
+            weights = []
+            for direction in ("", "_reverse"):
                 suffix = f"l{layer}{direction}"
-                w_ih = self.param(
-                    f"weight_ih_{suffix}", nn.initializers.lecun_normal(),
-                    (4 * h, in_dim), jnp.float32,
-                )
-                w_hh = self.param(
-                    f"weight_hh_{suffix}", nn.initializers.orthogonal(),
-                    (4 * h, h), jnp.float32,
-                )
-                b_ih = self.param(
-                    f"bias_ih_{suffix}", nn.initializers.zeros, (4 * h,),
-                    jnp.float32,
-                )
-                b_hh = self.param(
-                    f"bias_hh_{suffix}", nn.initializers.zeros, (4 * h,),
-                    jnp.float32,
-                )
-                outs.append(_lstm_direction(y, w_ih, w_hh, b_ih, b_hh, rev))
-            y = jnp.concatenate(outs, axis=-1)
+                weights += [
+                    self.param(
+                        f"weight_ih_{suffix}", nn.initializers.lecun_normal(),
+                        (4 * h, in_dim), jnp.float32,
+                    ),
+                    self.param(
+                        f"weight_hh_{suffix}", nn.initializers.orthogonal(),
+                        (4 * h, h), jnp.float32,
+                    ),
+                    self.param(
+                        f"bias_ih_{suffix}", nn.initializers.zeros, (4 * h,),
+                        jnp.float32,
+                    ),
+                    self.param(
+                        f"bias_hh_{suffix}", nn.initializers.zeros, (4 * h,),
+                        jnp.float32,
+                    ),
+                ]
+            y = _bilstm_layer(y, *weights)
         return y
 
 

@@ -158,6 +158,7 @@ class TaskQueue:
         self._workers: List[threading.Thread] = []
         self._beat: List[tuple] = []  # (interval_s, RegisteredTask, args)
         self._beat_thread: Optional[threading.Thread] = None
+        self._monitor_thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self.concurrency = concurrency
@@ -222,6 +223,11 @@ class TaskQueue:
                     target=self._beat_loop, daemon=True
                 )
                 self._beat_thread.start()
+            if self._monitor_thread is None:
+                self._monitor_thread = threading.Thread(
+                    target=self._monitor_loop, daemon=True
+                )
+                self._monitor_thread.start()
 
     def _worker_loop(self):
         while not self._stop.is_set():
@@ -232,6 +238,28 @@ class TaskQueue:
             if rec.cancel_event.is_set():
                 continue  # revoked while queued
             self._run(rec)
+
+    def _monitor_loop(self):
+        """Enforce soft/hard time limits (celery_app.py:23-24 parity):
+        past the soft limit a task sees its cancellation flag; past the
+        hard limit it is marked FAILURE (threads can't be force-killed,
+        but tasks poll ``is_revoked`` at progress points)."""
+        while not self._stop.is_set():
+            now = time.time()
+            for rec in list(self.records.values()):
+                if rec.state not in ("STARTED", "PROGRESS"):
+                    continue
+                elapsed = now - (rec.started_at or now)
+                if elapsed > self.soft_time_limit:
+                    rec.cancel_event.set()
+                # hard limit only after the soft cancellation had a
+                # chance to be observed (separate monitor passes)
+                if elapsed > self.hard_time_limit and rec.cancel_event.is_set():
+                    rec.state = "FAILURE"
+                    rec.result = "hard time limit exceeded"
+                    rec.finished_at = now
+                    self._stats["failed"] += 1
+            time.sleep(0.25)
 
     def _run(self, rec: TaskRecord):
         task = self.tasks.get(rec.name)
