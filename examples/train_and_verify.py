@@ -89,6 +89,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--out", default="./demo_models")
+    parser.add_argument(
+        "--detector-ckpt", default="",
+        help="reuse an existing detector checkpoint (skip detector training)",
+    )
     args = parser.parse_args()
 
     from vtd_tpu.models.dbnet import DBNet
@@ -128,37 +132,43 @@ def main():
     print(json.dumps(report["crnn"]), flush=True)
 
     # ------------------------------------------------------------------
-    print("=== training DBNet detector ===", flush=True)
     det_size = 320
-    n_det = 64 if args.quick else 384
-    det_epochs = 4 if args.quick else 20
-    images, targets = make_detection_dataset(n_det, det_size, seed=1)
-    split = n_det * 7 // 8
-    t0 = time.time()
-    det_result = ModelTrainer(
-        {
-            "checkpoint_dir": os.path.join(args.out, "dbnet"),
-            "max_epochs": det_epochs,
-            "batch_size": 8,
-            "learning_rate": 3e-4,
-            "early_stop_patience": 10,
+    if args.detector_ckpt:
+        print("=== reusing detector checkpoint ===", flush=True)
+        detector_ckpt = args.detector_ckpt
+        report["dbnet"] = {"reused": detector_ckpt}
+    else:
+        print("=== training DBNet detector ===", flush=True)
+        n_det = 64 if args.quick else 384
+        det_epochs = 4 if args.quick else 20
+        images, targets = make_detection_dataset(n_det, det_size, seed=1)
+        split = n_det * 7 // 8
+        t0 = time.time()
+        det_result = ModelTrainer(
+            {
+                "checkpoint_dir": os.path.join(args.out, "dbnet"),
+                "max_epochs": det_epochs,
+                "batch_size": 8,
+                "learning_rate": 3e-4,
+                "early_stop_patience": 10,
+            }
+        ).train(
+            DBNet(dtype=jnp.float32),
+            TextDetectionDataset(
+                images[:split], {k: v[:split] for k, v in targets.items()}
+            ),
+            TextDetectionDataset(
+                images[split:], {k: v[split:] for k, v in targets.items()}
+            ),
+        )
+        assert det_result["status"] == "success", det_result
+        detector_ckpt = det_result["best_model_path"]
+        report["dbnet"] = {
+            "train_seconds": round(time.time() - t0, 1),
+            "best_val_loss": det_result["best_val_loss"],
+            "val_f1": det_result["history"][-1]["val_f1"],
+            "ckpt": detector_ckpt,
         }
-    ).train(
-        DBNet(dtype=jnp.float32),
-        TextDetectionDataset(
-            images[:split], {k: v[:split] for k, v in targets.items()}
-        ),
-        TextDetectionDataset(
-            images[split:], {k: v[split:] for k, v in targets.items()}
-        ),
-    )
-    assert det_result["status"] == "success", det_result
-    report["dbnet"] = {
-        "train_seconds": round(time.time() - t0, 1),
-        "best_val_loss": det_result["best_val_loss"],
-        "val_f1": det_result["history"][-1]["val_f1"],
-        "ckpt": det_result["best_model_path"],
-    }
     print(json.dumps(report["dbnet"]), flush=True)
 
     # ------------------------------------------------------------------
@@ -182,7 +192,7 @@ def main():
         w.release()
 
         pipeline = VideoTextPipeline(
-            detector_path=det_result["best_model_path"],
+            detector_path=detector_ckpt,
             recognizer_path=rec_result["best_model_path"],
             use_transformer_ocr=False,
             confidence_threshold=0.5,

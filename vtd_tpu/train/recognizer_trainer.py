@@ -45,7 +45,15 @@ def encode_labels(
 def synthesize_text_lines(
     n: int, seed: int = 0, height: int = 32, width: int = 128
 ) -> Tuple[np.ndarray, List[str]]:
-    """Render random strings into [n, 32, 128, 3] float crops."""
+    """Render random strings into [n, 32, 128, 3] float crops.
+
+    The geometry mirrors what the inference pipeline feeds the
+    recognizer: text rendered at a random scale, cropped to its tight
+    bounding box with a few pixels of jittered padding, then resized
+    (aspect-distorting) to the recognizer input — NOT a fixed layout.
+    Training on fixed-layout lines leaves a domain gap that garbles
+    real detected crops.
+    """
     import cv2
 
     rng = np.random.default_rng(seed)
@@ -55,12 +63,30 @@ def synthesize_text_lines(
     for i in range(n):
         length = int(rng.integers(3, 9))
         text = "".join(rng.choice(list(chars)) for _ in range(length))
-        img = np.full((height, width, 3), 255, np.uint8)
-        scale = 0.55 if length <= 6 else 0.4
-        cv2.putText(
-            img, text, (2, 22), cv2.FONT_HERSHEY_SIMPLEX, scale, (0, 0, 0), 1
+        scale = float(rng.uniform(0.8, 2.2))
+        thick = int(rng.integers(1, 3)) if scale < 1.5 else int(rng.integers(2, 4))
+        (tw, th), base = cv2.getTextSize(
+            text, cv2.FONT_HERSHEY_SIMPLEX, scale, thick
         )
-        images[i] = img.astype(np.float32) / 255.0
+        margin = 20
+        canvas = np.full(
+            (th + base + 2 * margin, tw + 2 * margin, 3),
+            int(rng.integers(180, 255)), np.uint8,
+        )
+        cv2.putText(
+            canvas, text, (margin, margin + th),
+            cv2.FONT_HERSHEY_SIMPLEX, scale, (0, 0, 0), thick,
+        )
+        # tight box + jittered padding, like a detected region crop
+        px0 = margin - int(rng.integers(0, 6))
+        py0 = margin - int(rng.integers(0, 6))
+        px1 = margin + tw + int(rng.integers(0, 6))
+        py1 = margin + th + base + int(rng.integers(0, 6))
+        crop = canvas[max(py0, 0):py1, max(px0, 0):px1]
+        images[i] = (
+            cv2.resize(crop, (width, height), interpolation=cv2.INTER_LINEAR)
+            .astype(np.float32) / 255.0
+        )
         texts.append(text)
     return images, texts
 

@@ -267,6 +267,10 @@ class ModelTrainer:
                     )
                     saved.append((val["val_loss"], path))
                     saved.sort(key=lambda t: t[0])
+                    for _, stale in saved[top_k:]:
+                        import shutil
+
+                        shutil.rmtree(stale, ignore_errors=True)
                     saved = saved[:top_k]
 
                 # early stopping (trainer.py:160-165)
