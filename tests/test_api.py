@@ -382,6 +382,17 @@ def test_security_and_cors_headers(client):
     assert "X-Process-Time" in r.headers
 
 
+def test_schema_migrations_applied(client):
+    from vtd_tpu.serve.db.database import get_database
+    from vtd_tpu.serve.db.migrations import MIGRATIONS, current_version
+
+    db = get_database()
+    assert current_version(db) == MIGRATIONS[-1][0]
+    # idempotent
+    db.init_db()
+    assert current_version(db) == MIGRATIONS[-1][0]
+
+
 def test_404_and_error_shape(client):
     r = client.get("/api/v1/nonexistent")
     assert r.status_code == 404

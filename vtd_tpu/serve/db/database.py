@@ -186,6 +186,9 @@ class Database:
         with self._lock:
             self._conn.executescript(SCHEMA)
             self._conn.commit()
+        from .migrations import migrate
+
+        migrate(self)
 
     def health_check(self) -> Dict[str, Any]:
         """Same status dict shape as db_manager.health_check
