@@ -239,6 +239,22 @@ class TaskQueue:
                 continue  # revoked while queued
             self._run(rec)
 
+    def _gc_records(self, keep: int = 2000):
+        """Bound the in-memory task-record store: drop the oldest
+        finished records beyond ``keep`` (Celery offloads this to the
+        result backend's TTL; the local backend prunes in place)."""
+        with self._lock:
+            done = [
+                r
+                for r in self.records.values()
+                if r.state in ("SUCCESS", "FAILURE", "REVOKED")
+            ]
+            if len(done) <= keep:
+                return
+            done.sort(key=lambda r: r.finished_at or 0)
+            for r in done[: len(done) - keep]:
+                self.records.pop(r.id, None)
+
     def _monitor_loop(self):
         """Enforce soft/hard time limits (celery_app.py:23-24 parity):
         past the soft limit a task sees its cancellation flag; past the
@@ -259,6 +275,7 @@ class TaskQueue:
                     rec.result = "hard time limit exceeded"
                     rec.finished_at = now
                     self._stats["failed"] += 1
+            self._gc_records()
             time.sleep(0.25)
 
     def _run(self, rec: TaskRecord):

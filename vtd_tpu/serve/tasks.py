@@ -53,6 +53,17 @@ def configure_pipeline(**kwargs) -> None:
 
 
 def get_pipeline(use_transformer: bool = False):
+    # The transformer recognizer needs trained weights to be useful and
+    # there is no hub download in a zero-egress deployment; without a
+    # configured checkpoint, fall back to the CRNN engine.
+    if use_transformer and not _pipeline_kwargs.get("recognizer_path"):
+        trocr_ckpt = os.path.join(settings.model_path, "text_recognizer_trocr")
+        if not os.path.exists(trocr_ckpt):
+            logger.warning(
+                "transformer recognizer requested but no checkpoint at %s;"
+                " using CRNN", trocr_ckpt,
+            )
+            use_transformer = False
     if use_transformer not in _pipelines:
         from ..runtime.pipeline import VideoTextPipeline
 
