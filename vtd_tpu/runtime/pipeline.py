@@ -240,28 +240,27 @@ class VideoTextPipeline:
             ctc = {"ids": ids, "emit": emit, "confidence": conf}
         sx, sy = w / size, h / size
 
-        need: List[int] = []
+        # Vectorized slot filter (the Python loop over B*K slots was a
+        # measurable cost on dense frames): scale to original coords,
+        # apply the reference's >10px size filter (text_detector.py:166).
+        bx = (boxes * np.asarray([sx, sy, sx, sy])).astype(np.int64)
+        size_ok = (bx[..., 2] - bx[..., 0] > 10) & (
+            bx[..., 3] - bx[..., 1] > 10
+        )
+        keep = valid & size_ok & np.asarray(valid_frames)[:, None]
+        need_ij = np.argwhere(keep)  # [N, 2]
+        need: List[int] = (
+            need_ij[:, 0] * self.max_dets + need_ij[:, 1]
+        ).tolist()
+        polys_int = np.round(polys).astype(int)
         meta: Dict[int, Dict[str, Any]] = {}
-        for i in range(b):
-            if not valid_frames[i]:
-                continue
-            for j in range(self.max_dets):
-                if not valid[i, j]:
-                    continue
-                x1 = int(boxes[i, j, 0] * sx)
-                y1 = int(boxes[i, j, 1] * sy)
-                x2 = int(boxes[i, j, 2] * sx)
-                y2 = int(boxes[i, j, 3] * sy)
-                if x2 - x1 <= 10 or y2 - y1 <= 10:
-                    continue
-                flat = i * self.max_dets + j
-                need.append(flat)
-                meta[flat] = {
-                    "frame": i,
-                    "bbox": [x1, y1, x2, y2],
-                    "detection_confidence": float(scores[i, j]),
-                    "polygon": np.round(polys[i, j]).astype(int).tolist(),
-                }
+        for (i, j), flat in zip(need_ij, need):
+            meta[flat] = {
+                "frame": int(i),
+                "bbox": bx[i, j].tolist(),
+                "detection_confidence": float(scores[i, j]),
+                "polygon": polys_int[i, j].tolist(),
+            }
 
         texts: Dict[int, Any] = {}
         if ctc is not None:
