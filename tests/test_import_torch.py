@@ -73,6 +73,68 @@ def test_crnn_import_forward_parity():
     np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
 
 
+def test_dbhead_branch_import_parity():
+    """torch DBHead branch (Conv-BN-ReLU-ConvT-BN-ReLU-ConvT-Sigmoid,
+    text_recognizer-style sequential) vs the imported depth-to-space
+    flax branch."""
+    import jax
+    import jax.numpy as jnp
+
+    from vtd_tpu.models.dbnet import _HeadBranch
+    from vtd_tpu.models.import_torch import _bn, _conv, _convT_to_d2s
+
+    torch.manual_seed(3)
+    tbranch = nn.Sequential(
+        nn.Conv2d(256, 64, 3, padding=1),
+        nn.BatchNorm2d(64),
+        nn.ReLU(True),
+        nn.ConvTranspose2d(64, 64, 2, stride=2),
+        nn.BatchNorm2d(64),
+        nn.ReLU(True),
+        nn.ConvTranspose2d(64, 1, 2, stride=2),
+        nn.Sigmoid(),
+    ).eval()
+    with torch.no_grad():
+        for m in tbranch.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+    sd = {f"h.{k}": v.numpy() for k, v in tbranch.state_dict().items()}
+
+    # the torch sequential uses a biased first conv; ours is bias-free
+    # by design — zero it for the comparison
+    with torch.no_grad():
+        tbranch[0].bias.zero_()
+    sd = {f"h.{k}": v.numpy() for k, v in tbranch.state_dict().items()}
+
+    branch = _HeadBranch(256, dtype=jnp.float32)
+    x = np.random.default_rng(0).normal(size=(1, 8, 8, 256)).astype(
+        np.float32
+    )
+    variables = branch.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+    params["conv"] = {"kernel": _conv(sd, "h.0.weight")}
+    params["bn1"], stats["bn1"] = _bn(sd, "h.1")
+    params["up1"] = {"conv": _convT_to_d2s(sd, "h.3.weight")}
+    params["bn2"], stats["bn2"] = _bn(sd, "h.4")
+    params["up2"] = {"conv": _convT_to_d2s(sd, "h.6.weight")}
+
+    ours = np.asarray(
+        branch.apply(
+            {"params": params, "batch_stats": stats}, jnp.asarray(x)
+        )
+    )
+    with torch.no_grad():
+        ref = (
+            tbranch(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+            .numpy()
+            .transpose(0, 2, 3, 1)
+        )
+    assert ours.shape == ref.shape == (1, 32, 32, 1)
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+
+
 def test_resnet_bottleneck_import_parity():
     """One bottleneck block with downsample: conv/bn mapping + layout."""
     import jax

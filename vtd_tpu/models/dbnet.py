@@ -73,8 +73,45 @@ class FPNNeck(nn.Module):
         return jnp.concatenate([o2, o3, o4, o5], axis=-1)
 
 
+def _depth_to_space2(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, 4C] -> [B, 2H, 2W, C], channel layout (a*2+b)*C + c."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class _Upsample2x(nn.Module):
+    """2x learned upsampling: 1x1 conv to 4C + depth-to-space.
+
+    Mathematically identical to ConvTranspose(k=2, s=2) — each input
+    pixel paints a 2x2 output block with per-phase kernels — but lowers
+    to a plain MXU matmul instead of XLA's transposed-conv path (which
+    tiles poorly at 640x640). Weight mapping from a transposed-conv
+    kernel K[a, b, i, o]: conv kernel channel (a*2+b)*O + o (flax
+    ConvTranspose kernels additionally need a spatial flip; torch
+    ConvTranspose2d weights map directly — see models/import_torch.py).
+    """
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x) -> jnp.ndarray:
+        x = nn.Conv(
+            4 * self.features, (1, 1), dtype=self.dtype, name="conv"
+        )(x)
+        return _depth_to_space2(x)
+
+
 class _HeadBranch(nn.Module):
-    """Conv3x3-BN-ReLU -> ConvT(2,s2)-BN-ReLU -> ConvT(2,s2) -> sigmoid."""
+    """Conv3x3-BN-ReLU -> up2x-BN-ReLU -> up2x -> sigmoid.
+
+    The two 2x upsamplings keep the reference DBHead's
+    ConvTranspose(2, s2) parameter structure (text_detector.py:58-86)
+    in MXU-friendly depth-to-space form.
+    """
 
     in_channels: int = 256
     dtype: Dtype = jnp.bfloat16
@@ -91,13 +128,9 @@ class _HeadBranch(nn.Module):
             dtype=self.dtype, name="conv",
         )(x)
         x = nn.relu(norm("bn1")(x))
-        x = nn.ConvTranspose(
-            mid, (2, 2), strides=(2, 2), dtype=self.dtype, name="up1"
-        )(x)
+        x = _Upsample2x(mid, dtype=self.dtype, name="up1")(x)
         x = nn.relu(norm("bn2")(x))
-        x = nn.ConvTranspose(
-            1, (2, 2), strides=(2, 2), dtype=self.dtype, name="up2"
-        )(x)
+        x = _Upsample2x(1, dtype=self.dtype, name="up2")(x)
         return nn.sigmoid(x.astype(jnp.float32))
 
 

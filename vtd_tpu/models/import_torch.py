@@ -42,12 +42,15 @@ def _conv(sd, name):
     return np.transpose(sd[name], (2, 3, 1, 0))
 
 
-def _convT(sd, name):
-    # torch ConvTranspose2d weight [I, O, kh, kw]; flax ConvTranspose
-    # kernel [kh, kw, I, O], and flax flips spatial dims relative to
-    # torch's cross-correlation transpose semantics.
-    w = np.transpose(sd[name], (2, 3, 0, 1))
-    return w[::-1, ::-1]
+def _convT_to_d2s(sd, name):
+    """torch ConvTranspose2d(k=2, s=2) weight [I, O, 2, 2] -> the
+    equivalent depth-to-space 1x1 conv kernel [1, 1, I, 4O] with channel
+    layout (a*2+b)*O + o (models/dbnet.py _Upsample2x)."""
+    w = sd[name]
+    i, o = w.shape[0], w.shape[1]
+    kernel = np.transpose(w, (0, 2, 3, 1)).reshape(i, 4 * o)[None, None]
+    bias = np.tile(sd[name.replace(".weight", ".bias")], 4)
+    return {"kernel": kernel, "bias": bias}
 
 
 def _bn(sd, prefix):
@@ -156,15 +159,9 @@ def import_dbnet_pth(path: str) -> Dict[str, Any]:
         bstats = stats["head"][fname]
         branch["conv"] = {"kernel": _conv(sd, f"{tname}.0.weight")}
         branch["bn1"], bstats["bn1"] = _bn(sd, f"{tname}.1")
-        branch["up1"] = {
-            "kernel": _convT(sd, f"{tname}.3.weight"),
-            "bias": sd[f"{tname}.3.bias"],
-        }
+        branch["up1"] = {"conv": _convT_to_d2s(sd, f"{tname}.3.weight")}
         branch["bn2"], bstats["bn2"] = _bn(sd, f"{tname}.4")
-        branch["up2"] = {
-            "kernel": _convT(sd, f"{tname}.6.weight"),
-            "bias": sd[f"{tname}.6.bias"],
-        }
+        branch["up2"] = {"conv": _convT_to_d2s(sd, f"{tname}.6.weight")}
 
     return {"params": params, "batch_stats": stats}
 
