@@ -43,7 +43,7 @@ def test_resume_skips_done_frames(clip, pipeline, tmp_path):
     # Second run must reuse every frame (no device work) and agree.
     calls = []
     orig = pipeline._dispatch_batch
-    pipeline._dispatch_batch = lambda f: calls.append(1) or orig(f)
+    pipeline._dispatch_batch = lambda f, **kw: calls.append(1) or orig(f, **kw)
     try:
         r2 = asyncio.run(pipeline.process_video(clip, "", resume_file=resume))
     finally:
@@ -66,7 +66,7 @@ def test_partial_resume(clip, pipeline, tmp_path):
 
     calls = []
     orig = pipeline._dispatch_batch
-    pipeline._dispatch_batch = lambda fr: calls.append(1) or orig(fr)
+    pipeline._dispatch_batch = lambda fr, **kw: calls.append(1) or orig(fr, **kw)
     try:
         r2 = asyncio.run(pipeline.process_video(clip, "", resume_file=resume))
     finally:

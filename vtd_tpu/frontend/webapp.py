@@ -4,14 +4,20 @@ Page-parity with the reference's Streamlit frontend (reference
 ``app/frontend/main.py``): login/register, upload, my-videos,
 processing (confidence slider + transformer toggle + 2 s status
 polling), results (summary tiles, detected texts, detections table,
-CSV download), analytics (category breakdown + upload timeline).
-Served by the API itself at ``/app`` — no extra process, no Streamlit
-dependency.
-"""
+CSV download), analytics (category pie chart + upload timeline,
+reference ``app/frontend/main.py:401-442``). Served by the API itself
+at ``/app`` — no extra process, no Streamlit dependency.
 
-INDEX_HTML = """<!doctype html>
+CSP-compatible: the single <style> and <script> blocks carry a
+per-request nonce (``render_index``), there are no inline event
+handlers (everything binds via addEventListener), and every
+user-controlled string rendered into the DOM goes through ``esc()``.
+"""
+from __future__ import annotations
+
+INDEX_HTML_TEMPLATE = """<!doctype html>
 <html><head><meta charset="utf-8"><title>Video Text Detection</title>
-<style>
+<style nonce="__NONCE__">
  body{font-family:system-ui,sans-serif;margin:0;background:#f5f6fa;color:#222}
  header{background:#1a237e;color:#fff;padding:12px 24px;display:flex;gap:24px;align-items:center}
  header h1{font-size:18px;margin:0}
@@ -27,6 +33,9 @@ INDEX_HTML = """<!doctype html>
  .tile{flex:1;min-width:140px;background:#e8eaf6;border-radius:8px;padding:14px;text-align:center}
  .tile b{display:block;font-size:22px}
  .bar{height:14px;background:#3949ab;border-radius:3px}
+ .charts{display:flex;gap:24px;flex-wrap:wrap;align-items:flex-start}
+ .legend{font-size:13px}
+ .legend span{display:inline-block;width:12px;height:12px;border-radius:2px;margin-right:6px;vertical-align:middle}
  progress{width:100%}
  .err{color:#c62828}.ok{color:#2e7d32}
  .hidden{display:none}
@@ -38,7 +47,7 @@ INDEX_HTML = """<!doctype html>
  <button data-page="processing">Processing</button>
  <button data-page="results">Results</button>
  <button data-page="analytics">Analytics</button>
- <button onclick="logout()">Logout</button>
+ <button id="logoutbtn">Logout</button>
 </nav></header>
 <main>
 <div id="auth" class="card">
@@ -46,8 +55,8 @@ INDEX_HTML = """<!doctype html>
  <input id="username" placeholder="username">
  <input id="email" placeholder="email (register only)">
  <input id="password" type="password" placeholder="password">
- <p><button class="primary" onclick="login()">Login</button>
-    <button class="primary" onclick="register()">Register</button></p>
+ <p><button class="primary" id="loginbtn">Login</button>
+    <button class="primary" id="registerbtn">Register</button></p>
  <p id="authmsg" class="err"></p>
 </div>
 
@@ -59,7 +68,7 @@ INDEX_HTML = """<!doctype html>
   <option>activity</option><option>driving</option><option>game</option>
   <option>sports</option><option>street_indoor</option>
   <option>street_outdoor</option><option>other</option></select>
- <p><button class="primary" onclick="upload()">Upload</button></p>
+ <p><button class="primary" id="uploadbtn">Upload</button></p>
  <p id="upmsg"></p>
 </div>
 
@@ -72,31 +81,35 @@ INDEX_HTML = """<!doctype html>
  <h2>Process a video</h2>
  <select id="procvid"></select>
  <label>Confidence threshold: <span id="confval">0.5</span>
-  <input type="range" id="conf" min="0.1" max="0.9" step="0.05" value="0.5"
-   oninput="confval.textContent=this.value"></label>
+  <input type="range" id="conf" min="0.1" max="0.9" step="0.05" value="0.5"></label>
  <label><input type="checkbox" id="usetr"> use transformer recognizer</label>
- <p><button class="primary" onclick="startProc()">Start detection</button></p>
+ <p><button class="primary" id="startbtn">Start detection</button></p>
  <div id="procstatus"></div>
 </div>
 
 <div id="page-results" class="card hidden">
  <h2>Results</h2>
- <select id="resvid" onchange="loadResults()"></select>
+ <select id="resvid"></select>
  <div id="restiles" class="tiles"></div>
  <div id="restexts"></div>
- <p><button onclick="downloadCSV()">Download CSV</button></p>
+ <p><button id="csvbtn">Download CSV</button></p>
  <table id="restable"><thead><tr><th>Frame</th><th>Time</th><th>Text</th>
  <th>Det conf</th><th>Rec conf</th></tr></thead><tbody></tbody></table>
 </div>
 
 <div id="page-analytics" class="card hidden">
- <h2>Analytics</h2><div id="cats"></div>
+ <h2>Analytics</h2>
+ <div class="charts"><div id="catpie"></div><div id="cats"></div></div>
+ <div id="timeline"></div>
 </div>
 </main>
-<script>
+<script nonce="__NONCE__">
 let token = localStorage.getItem('vtd_token') || null;
 const api = (p) => '/api/v1' + p;
 const hdrs = () => token ? {'Authorization':'Bearer '+token} : {};
+// Escape user-controlled strings before any innerHTML interpolation.
+const esc = (s) => String(s ?? '').replace(/[&<>"']/g,
+  c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
 async function jfetch(p, opts={}) {
   opts.headers = Object.assign({}, opts.headers||{}, hdrs());
   const r = await fetch(p, opts);
@@ -114,8 +127,6 @@ function show(page){
   if(page==='results') fillSelect('resvid').then(loadResults);
   if(page==='analytics') loadAnalytics();
 }
-document.querySelectorAll('#nav button[data-page]').forEach(b=>
-  b.onclick=()=>show(b.dataset.page));
 async function login(){
   const fd = new URLSearchParams({username:username.value,password:password.value});
   const r = await fetch(api('/auth/login'),{method:'POST',
@@ -147,23 +158,24 @@ async function loadVideos(){
   const tb = document.querySelector('#vidtable tbody'); tb.innerHTML='';
   (body||[]).forEach(v=>{
     tb.insertAdjacentHTML('beforeend', `<tr><td>${v.id}</td>
-    <td>${v.original_filename}</td><td>${(v.duration||0).toFixed(1)}s</td>
-    <td>${(v.file_size/1048576).toFixed(1)}MB</td><td>${v.category||''}</td>
-    <td><button onclick="delVideo(${v.id})">delete</button></td></tr>`);});
+    <td>${esc(v.original_filename)}</td><td>${(v.duration||0).toFixed(1)}s</td>
+    <td>${(v.file_size/1048576).toFixed(1)}MB</td><td>${esc(v.category||'')}</td>
+    <td><button class="delbtn" data-id="${v.id}">delete</button></td></tr>`);});
+  tb.querySelectorAll('.delbtn').forEach(b=>b.onclick=()=>delVideo(b.dataset.id));
 }
 async function delVideo(id){ await jfetch(api('/videos/'+id),{method:'DELETE'}); loadVideos(); }
 async function fillSelect(id){
   const {body} = await jfetch(api('/videos/'));
   const s = document.getElementById(id); s.innerHTML='';
   (body||[]).forEach(v=>s.insertAdjacentHTML('beforeend',
-    `<option value="${v.id}">#${v.id} ${v.original_filename}</option>`));
+    `<option value="${v.id}">#${v.id} ${esc(v.original_filename)}</option>`));
 }
 let pollTimer=null;
 async function startProc(){
   const vid = procvid.value; if(!vid) return;
   const q = `?confidence_threshold=${conf.value}&use_transformer=${usetr.checked}`;
   const {status, body} = await jfetch(api(`/processing/videos/${vid}/detect`+q),{method:'POST'});
-  if(status!==200){procstatus.innerHTML=`<p class="err">${body.detail||status}</p>`;return;}
+  if(status!==200){procstatus.innerHTML=`<p class="err">${esc(body.detail||status)}</p>`;return;}
   const job = body; procstatus.innerHTML='<progress max="100" value="0"></progress><span id="pct"></span>';
   clearInterval(pollTimer);
   pollTimer = setInterval(async ()=>{               // 2 s polling, like the reference UI
@@ -175,7 +187,7 @@ async function startProc(){
     if(['completed','failed','cancelled'].includes(s.status)){
       clearInterval(pollTimer);
       procstatus.insertAdjacentHTML('beforeend',
-        `<p class="${s.status==='completed'?'ok':'err'}">${s.status}${s.error_message?': '+s.error_message:''}</p>`);
+        `<p class="${s.status==='completed'?'ok':'err'}">${esc(s.status)}${s.error_message?': '+esc(s.error_message):''}</p>`);
     }
   },2000);
 }
@@ -190,11 +202,11 @@ async function loadResults(){
   restiles.innerHTML = ['total_frames','frames_with_text','total_detections','unique_texts']
     .map(k=>`<div class="tile"><b>${s[k]??0}</b>${k.replaceAll('_',' ')}</div>`).join('');
   restexts.innerHTML = '<h3>Detected text</h3>'+
-    (s.detected_texts||[]).map(t=>`<code>${t}</code>`).join(' ');
+    (s.detected_texts||[]).map(t=>`<code>${esc(t)}</code>`).join(' ');
   const tb = document.querySelector('#restable tbody'); tb.innerHTML='';
   (body.results.results||[]).slice(0,500).forEach(fr=>fr.detections.forEach(d=>
     tb.insertAdjacentHTML('beforeend',`<tr><td>${fr.frame_number}</td>
-    <td>${fr.timestamp.toFixed(2)}</td><td>${d.text}</td>
+    <td>${fr.timestamp.toFixed(2)}</td><td>${esc(d.text)}</td>
     <td>${d.detection_confidence.toFixed(2)}</td>
     <td>${d.recognition_confidence.toFixed(2)}</td></tr>`)));
 }
@@ -205,14 +217,68 @@ async function downloadCSV(){
   const a = document.createElement('a');
   a.href = URL.createObjectURL(blob); a.download=`video_${vid}_results.csv`; a.click();
 }
+const PIE_COLORS=['#3949ab','#e53935','#43a047','#fb8c00','#8e24aa','#00acc1','#6d4c41'];
+function pieSVG(counts){
+  // Category pie chart (reference analytics: plotly px.pie, main.py:401-420).
+  const entries=Object.entries(counts); const total=entries.reduce((a,[,n])=>a+n,0)||1;
+  let a0=-Math.PI/2, paths='';
+  entries.forEach(([k,n],i)=>{
+    const a1=a0+2*Math.PI*n/total;
+    const large=(a1-a0)>Math.PI?1:0;
+    const x0=100+90*Math.cos(a0),y0=100+90*Math.sin(a0);
+    const x1=100+90*Math.cos(a1),y1=100+90*Math.sin(a1);
+    paths += entries.length===1
+      ? `<circle cx="100" cy="100" r="90" fill="${PIE_COLORS[i%7]}"/>`
+      : `<path d="M100,100 L${x0.toFixed(1)},${y0.toFixed(1)} A90,90 0 ${large} 1 ${x1.toFixed(1)},${y1.toFixed(1)} Z" fill="${PIE_COLORS[i%7]}"/>`;
+    a0=a1;});
+  return `<svg width="200" height="200" viewBox="0 0 200 200" role="img">${paths}</svg>`;
+}
+function timelineSVG(days){
+  // Upload timeline (reference: px.histogram over upload dates, main.py:422-442).
+  const keys=Object.keys(days).sort(); if(!keys.length) return '';
+  const max=Math.max(...keys.map(k=>days[k]));
+  const w=Math.max(480,keys.length*28), bw=Math.max(8,Math.floor(w/keys.length)-6);
+  let bars='';
+  keys.forEach((k,i)=>{
+    const h=Math.round(120*days[k]/max);
+    bars+=`<rect x="${i*(bw+6)+4}" y="${130-h}" width="${bw}" height="${h}" fill="#3949ab"><title>${esc(k)}: ${days[k]}</title></rect>`
+        +`<text x="${i*(bw+6)+4+bw/2}" y="145" font-size="9" text-anchor="middle">${esc(k.slice(5))}</text>`;});
+  return `<h3>Upload timeline</h3><svg width="${w}" height="150">${bars}</svg>`;
+}
 async function loadAnalytics(){
   const {body} = await jfetch(api('/videos/'));
-  const counts={};
-  (body||[]).forEach(v=>{const c=v.category||'uncategorized';counts[c]=(counts[c]||0)+1;});
+  const counts={}, days={};
+  (body||[]).forEach(v=>{
+    const c=v.category||'uncategorized'; counts[c]=(counts[c]||0)+1;
+    if(v.created_at){const d=String(v.created_at).slice(0,10); days[d]=(days[d]||0)+1;}});
+  catpie.innerHTML = pieSVG(counts);
   const max = Math.max(1,...Object.values(counts));
-  cats.innerHTML = '<h3>Uploads by category</h3>'+Object.entries(counts).map(([k,n])=>
-    `<div style="margin:6px 0">${k} (${n})<div class="bar" style="width:${n/max*100}%"></div></div>`).join('');
+  cats.innerHTML = '<h3>Uploads by category</h3>'+Object.entries(counts).map(([k,n],i)=>
+    `<div class="legend" style="margin:6px 0"><span style="background:${PIE_COLORS[i%7]}"></span>${esc(k)} (${n})`+
+    `<div class="bar" style="width:${n/max*100}%"></div></div>`).join('');
+  timeline.innerHTML = timelineSVG(days);
 }
+document.getElementById('loginbtn').addEventListener('click', login);
+document.getElementById('registerbtn').addEventListener('click', register);
+document.getElementById('logoutbtn').addEventListener('click', logout);
+document.getElementById('uploadbtn').addEventListener('click', upload);
+document.getElementById('startbtn').addEventListener('click', startProc);
+document.getElementById('csvbtn').addEventListener('click', downloadCSV);
+document.getElementById('resvid').addEventListener('change', loadResults);
+document.getElementById('conf').addEventListener('input',
+  e=>document.getElementById('confval').textContent=e.target.value);
+document.querySelectorAll('#nav button[data-page]').forEach(b=>
+  b.addEventListener('click', ()=>show(b.dataset.page)));
 if(token) show('upload'); else show('auth');
 </script></body></html>
 """
+
+
+def render_index(nonce: str) -> str:
+    """Render the SPA with a per-request CSP nonce on its style/script."""
+    return INDEX_HTML_TEMPLATE.replace("__NONCE__", nonce)
+
+
+# Backwards-compatible plain render (no nonce attributes honored by CSP;
+# used only where no CSP header is applied).
+INDEX_HTML = render_index("")

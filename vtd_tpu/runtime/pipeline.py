@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.schemas import summarize
+from ..obs import metrics as _metrics
 from ..ops.crop import crop_and_resize_boxes_mm as crop_and_resize_boxes
 from ..ops.db_postprocess import db_postprocess
 from ..ops.preprocess import preprocess_frames
@@ -39,6 +40,27 @@ from .detector import TextDetector
 from .recognizer import TextRecognizer
 
 logger = logging.getLogger(__name__)
+
+
+def _dedup_summary(all_results: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Temporal-dedup summary fields: cross-frame text tracks (same
+    string at an overlapping position in nearby frames becomes one
+    track) with singleton fragments filtered — a 1-character string
+    seen in a single frame is far more likely postprocess noise than
+    real scene text.
+    """
+    from ..ops.nms import temporal_dedup as merge_tracks
+
+    tracks = merge_tracks(all_results)
+    confirmed = [
+        t for t in tracks if t["count"] >= 2 or len(t["text"]) >= 2
+    ]
+    texts = sorted({t["text"] for t in confirmed})
+    return {
+        "text_tracks": confirmed,
+        "detected_texts": texts,
+        "unique_texts": len(texts),
+    }
 
 
 class VideoTextPipeline:
@@ -56,6 +78,8 @@ class VideoTextPipeline:
         host_downscale: Optional[int] = None,
         transfer_format: str = "bgr",
         recognizer_kwargs: Optional[Dict[str, Any]] = None,
+        temporal_dedup: bool = False,
+        profile_dir: Optional[str] = None,
     ):
         self.detector = TextDetector(
             detector_path, input_size=detector_input_size, max_dets=max_dets
@@ -79,6 +103,11 @@ class VideoTextPipeline:
         # 'yuv420' ships I420-packed frames (half the bytes of BGR) and
         # converts on device (ops/preprocess.yuv420_to_bgr).
         self.transfer_format = transfer_format
+        # Cross-frame text-track merging in the summary (the reference
+        # only set-dedups exact strings, pipeliine.py:194-198).
+        self.temporal_dedup = temporal_dedup
+        # Opt-in jax.profiler trace around the hot loop (SURVEY §5).
+        self.profile_dir = profile_dir
         self.use_transformer = use_transformer_ocr
         if use_transformer_ocr:
             s = self.recognizer.transformer.cfg.image_size
@@ -187,10 +216,24 @@ class VideoTextPipeline:
         return run
 
     # ------------------------------------------------------------------
-    def _dispatch_batch(self, frames: np.ndarray):
+    def _dispatch_batch(
+        self,
+        frames: np.ndarray,
+        confidence_threshold: Optional[float] = None,
+    ):
         """Enqueue the fused device program (non-blocking: JAX dispatch
         is async, so the TPU crunches this batch while the host decodes
-        the next one)."""
+        the next one).
+
+        ``confidence_threshold`` overrides the instance default per call
+        (it is a traced scalar, so no recompile) — concurrent jobs with
+        different thresholds must not mutate shared pipeline state.
+        """
+        thr = (
+            self.confidence_threshold
+            if confidence_threshold is None
+            else confidence_threshold
+        )
         rec_vars = (
             None if self.use_transformer else self.recognizer.crnn_variables
         )
@@ -198,12 +241,12 @@ class VideoTextPipeline:
             self.detector.variables,
             rec_vars,
             jnp.asarray(frames),
-            jnp.float32(self.confidence_threshold),
+            jnp.float32(thr),
         )
 
     def _process_batch(
         self, frames: np.ndarray, valid_frames: np.ndarray, handles=None,
-        orig_size=None,
+        orig_size=None, confidence_threshold: Optional[float] = None,
     ) -> List[List[Dict[str, Any]]]:
         """One frame batch -> per-frame lists of recognized-region dicts.
 
@@ -218,8 +261,11 @@ class VideoTextPipeline:
         if orig_size is not None:
             h, w = orig_size
         size = self.detector.input_size
+        t0 = time.perf_counter()
         if handles is None:
-            handles = self._dispatch_batch(frames)
+            handles = self._dispatch_batch(
+                frames, confidence_threshold=confidence_threshold
+            )
         det_pack, crops_flat, ctc_ids, ctc_conf = handles
         det_pack = np.asarray(jax.device_get(det_pack))
         boxes = det_pack[..., 0:4]
@@ -281,9 +327,17 @@ class VideoTextPipeline:
                 sel = np.zeros(m, np.int32)
                 sel[: len(chunk)] = chunk
                 t, conf = self._recognize_sel(crops_flat, sel)
+                _metrics.recognizer_chunk_occupancy.observe(len(chunk) / m)
                 for k, flat in enumerate(chunk):
                     texts[flat] = (t[k], float(conf[k]))
 
+        # SURVEY §5: the reference declared these histograms but never
+        # recorded them from its pipeline; here every batch feeds them.
+        _metrics.metrics_collector.record_model_inference(
+            time.perf_counter() - t0,
+            "transformer" if self.use_transformer else "DBNet-CRNN",
+            b,
+        )
         results: List[List[Dict[str, Any]]] = [[] for _ in range(b)]
         for flat in need:
             info = meta[flat]
@@ -306,6 +360,8 @@ class VideoTextPipeline:
         output_dir: str = "",
         progress_callback: Optional[Callable] = None,
         resume_file: Optional[str] = None,
+        confidence_threshold: Optional[float] = None,
+        temporal_dedup: Optional[bool] = None,
     ) -> Dict[str, Any]:
         """Process a whole video (parity: pipeliine.py:34-91).
 
@@ -320,9 +376,24 @@ class VideoTextPipeline:
         (SURVEY.md §5). When set, each completed batch's frame results
         are appended as JSON lines; on restart, frames already present
         are loaded and skipped.
+
+        ``confidence_threshold``/``temporal_dedup`` override the instance
+        defaults per call (concurrent jobs must not mutate shared state).
         """
         import json as _json
+        from contextlib import nullcontext
 
+        thr = (
+            self.confidence_threshold
+            if confidence_threshold is None
+            else confidence_threshold
+        )
+        dedup = self.temporal_dedup if temporal_dedup is None else temporal_dedup
+        profile_ctx = (
+            jax.profiler.trace(self.profile_dir)
+            if self.profile_dir
+            else nullcontext()
+        )
         try:
             start_time = time.time()
             video_info = self.video_processor.get_video_info(video_path)
@@ -374,6 +445,7 @@ class VideoTextPipeline:
                     self._process_batch(
                         batch["frames"], batch["valid"], handles=handles,
                         orig_size=batch.get("orig_size"),
+                        confidence_threshold=thr,
                     )
                     if handles is not None
                     else None
@@ -403,26 +475,33 @@ class VideoTextPipeline:
                         progress, frame_count, total_expected
                     )
 
-            for batch in batches:
-                already_done = all(
-                    int(fn) in done_frames
-                    for fn, v in zip(batch["frame_numbers"], batch["valid"])
-                    if v
-                )
-                handles = (
-                    None if already_done
-                    else self._dispatch_batch(batch["frames"])
-                )
+            with profile_ctx:
+                for batch in batches:
+                    already_done = all(
+                        int(fn) in done_frames
+                        for fn, v in zip(
+                            batch["frame_numbers"], batch["valid"]
+                        )
+                        if v
+                    )
+                    handles = (
+                        None if already_done
+                        else self._dispatch_batch(
+                            batch["frames"], confidence_threshold=thr
+                        )
+                    )
+                    if pending is not None:
+                        await collect(*pending)
+                    pending = (batch, handles)
                 if pending is not None:
                     await collect(*pending)
-                pending = (batch, handles)
-            if pending is not None:
-                await collect(*pending)
             if ckpt_fh is not None:
                 ckpt_fh.close()
 
             processing_time = time.time() - start_time
             summary = summarize(all_results, processing_time, frame_count)
+            if dedup:
+                summary.update(_dedup_summary(all_results))
             return {
                 "status": "success",
                 "results": all_results,
@@ -434,11 +513,16 @@ class VideoTextPipeline:
             return {"status": "failed", "error": str(e), "results": []}
 
     # ------------------------------------------------------------------
-    def process_single_frame(self, frame: np.ndarray) -> Dict[str, Any]:
+    def process_single_frame(
+        self,
+        frame: np.ndarray,
+        confidence_threshold: Optional[float] = None,
+    ) -> Dict[str, Any]:
         """Single-frame parity API (pipeliine.py:143-172)."""
         try:
             per_frame = self._process_batch(
-                frame[None], np.asarray([True])
+                frame[None], np.asarray([True]),
+                confidence_threshold=confidence_threshold,
             )
             dets = [
                 {k: v for k, v in d.items() if k != "polygon"}

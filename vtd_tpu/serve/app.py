@@ -189,9 +189,22 @@ def create_app(
     # -- web UI (frontend parity: app/frontend/main.py) --------------------
     @app.get("/app")
     def webapp(request: Request) -> Response:
-        from ..frontend.webapp import INDEX_HTML
+        import secrets
 
-        return Response(200, INDEX_HTML, media_type="text/html; charset=utf-8")
+        from ..frontend.webapp import render_index
+
+        # Per-request CSP nonce: the SPA's single <style>/<script> carry
+        # it, so `default-src 'self'` stays strict without breaking the UI
+        # (the reference's CSP guarded an API-only service).
+        nonce = secrets.token_urlsafe(16)
+        resp = Response(
+            200, render_index(nonce), media_type="text/html; charset=utf-8"
+        )
+        resp.headers["Content-Security-Policy"] = (
+            f"default-src 'self'; script-src 'nonce-{nonce}'; "
+            f"style-src 'nonce-{nonce}'; img-src 'self' data:"
+        )
+        return resp
 
     # ======================= auth =========================================
     @app.post("/api/v1/auth/register")
@@ -387,6 +400,8 @@ def create_app(
                 q.get("confidence_threshold") or settings.confidence_threshold
             ),
             "use_transformer": q.get("use_transformer", "true").lower()
+            in ("true", "1"),
+            "temporal_dedup": q.get("temporal_dedup", "false").lower()
             in ("true", "1"),
             "batch_size": settings.batch_size,
         }

@@ -113,9 +113,22 @@ def parse_multipart(
     boundary = m.group(1).strip('"').encode()
     fields: Dict[str, str] = {}
     files: Dict[str, Tuple[str, bytes]] = {}
-    for part in body.split(b"--" + boundary):
-        part = part.strip(b"\r\n")
-        if not part or part == b"--":
+    segments = body.split(b"--" + boundary)
+    for part in segments[1:]:
+        if part.startswith(b"--"):
+            break  # closing delimiter "--boundary--"
+        # The CRLF after the delimiter line and the CRLF before the next
+        # delimiter are framing, not content: remove exactly one of each
+        # (strip() would eat trailing 0x0a/0x0d bytes of binary payloads).
+        if part.startswith(b"\r\n"):
+            part = part[2:]
+        elif part.startswith(b"\n"):
+            part = part[1:]
+        if part.endswith(b"\r\n"):
+            part = part[:-2]
+        elif part.endswith(b"\n"):
+            part = part[:-1]
+        if not part:
             continue
         if b"\r\n\r\n" not in part:
             continue

@@ -145,8 +145,12 @@ def security_headers_middleware(request: Request, call_next) -> Response:
             "X-Frame-Options": "DENY",
             "X-XSS-Protection": "1; mode=block",
             "Strict-Transport-Security": "max-age=31536000; includeSubDomains",
-            "Content-Security-Policy": "default-src 'self'",
         }
+    )
+    # Handlers may set a stricter per-response CSP (the /app SPA uses a
+    # per-request nonce); only apply the blanket default when absent.
+    response.headers.setdefault(
+        "Content-Security-Policy", "default-src 'self'"
     )
     return response
 

@@ -22,6 +22,56 @@ from ..queue import AsyncResult, task_queue
 
 logger = logging.getLogger(__name__)
 
+_CSV_COLUMNS = (
+    "frame_number", "timestamp", "text", "bbox_x1", "bbox_y1",
+    "bbox_x2", "bbox_y2", "detection_confidence", "recognition_confidence",
+)
+
+
+def _bbox4(det: Dict[str, Any]) -> List[Any]:
+    return det.get("bbox", [0, 0, 0, 0])
+
+
+def _csv_rows(frame_results: List[Dict[str, Any]]):
+    """Flatten per-frame result dicts into CSV row tuples."""
+    for fr in frame_results:
+        head = (fr.get("frame_number", 0), fr.get("timestamp", 0.0))
+        for det in fr.get("detections", []):
+            yield (
+                *head,
+                det.get("text", ""),
+                *_bbox4(det),
+                det.get("detection_confidence", 0.0),
+                det.get("recognition_confidence", 0.0),
+            )
+
+
+def _xml_summary(root: ET.Element, summary: Dict[str, Any]) -> None:
+    node = ET.SubElement(root, "summary")
+    for key, value in summary.items():
+        ET.SubElement(node, key).text = str(value)
+
+
+def _xml_frame(parent: ET.Element, fr: Dict[str, Any]) -> None:
+    node = ET.SubElement(
+        parent,
+        "frame",
+        number=str(fr.get("frame_number", 0)),
+        timestamp=str(fr.get("timestamp", 0.0)),
+    )
+    for det in fr.get("detections", []):
+        obj = ET.SubElement(
+            node,
+            "object",
+            transcription=det.get("text", ""),
+            detection_confidence=str(det.get("detection_confidence", 0.0)),
+            recognition_confidence=str(det.get("recognition_confidence", 0.0)),
+        )
+        x1, y1, x2, y2 = _bbox4(det)
+        # 4 corner Points, clockwise from top-left (ICDAR convention)
+        for px, py in ((x1, y1), (x2, y1), (x2, y2), (x1, y2)):
+            ET.SubElement(obj, "Point", x=str(px), y=str(py))
+
 
 class ProcessingService:
     def __init__(self, queue=None):
@@ -52,31 +102,17 @@ class ProcessingService:
             return False
 
     # -- exports ------------------------------------------------------------
+    # Both formats are byte-compatibility contracts with the reference
+    # (CSV column order: processing_service.py:66-70; ICDAR-like XML
+    # element/attribute names: :92-137) — consumers parse them.
+
     async def export_results_csv(self, results_data: Dict[str, Any]) -> str:
         try:
-            output = io.StringIO()
-            writer = csv.writer(output)
-            writer.writerow(
-                [
-                    "frame_number", "timestamp", "text", "bbox_x1", "bbox_y1",
-                    "bbox_x2", "bbox_y2", "detection_confidence",
-                    "recognition_confidence",
-                ]
-            )
-            for frame_result in results_data.get("results", []):
-                fn = frame_result.get("frame_number", 0)
-                ts = frame_result.get("timestamp", 0.0)
-                for det in frame_result.get("detections", []):
-                    bbox = det.get("bbox", [0, 0, 0, 0])
-                    writer.writerow(
-                        [
-                            fn, ts, det.get("text", ""),
-                            bbox[0], bbox[1], bbox[2], bbox[3],
-                            det.get("detection_confidence", 0.0),
-                            det.get("recognition_confidence", 0.0),
-                        ]
-                    )
-            return output.getvalue()
+            buf = io.StringIO()
+            writer = csv.writer(buf)
+            writer.writerow(_CSV_COLUMNS)
+            writer.writerows(_csv_rows(results_data.get("results", [])))
+            return buf.getvalue()
         except Exception as e:
             logger.error("CSV export failed: %s", e)
             return ""
@@ -84,35 +120,10 @@ class ProcessingService:
     async def export_results_xml(self, results_data: Dict[str, Any]) -> str:
         try:
             root = ET.Element("video_text_detection")
-            summary_elem = ET.SubElement(root, "summary")
-            for key, value in results_data.get("summary", {}).items():
-                ET.SubElement(summary_elem, key).text = str(value)
-
-            frames_elem = ET.SubElement(root, "frames")
-            for frame_result in results_data.get("results", []):
-                frame_elem = ET.SubElement(frames_elem, "frame")
-                frame_elem.set(
-                    "number", str(frame_result.get("frame_number", 0))
-                )
-                frame_elem.set(
-                    "timestamp", str(frame_result.get("timestamp", 0.0))
-                )
-                for det in frame_result.get("detections", []):
-                    obj = ET.SubElement(frame_elem, "object")
-                    obj.set("transcription", det.get("text", ""))
-                    obj.set(
-                        "detection_confidence",
-                        str(det.get("detection_confidence", 0.0)),
-                    )
-                    obj.set(
-                        "recognition_confidence",
-                        str(det.get("recognition_confidence", 0.0)),
-                    )
-                    x1, y1, x2, y2 = det.get("bbox", [0, 0, 0, 0])
-                    for px, py in ((x1, y1), (x2, y1), (x2, y2), (x1, y2)):
-                        p = ET.SubElement(obj, "Point")
-                        p.set("x", str(px))
-                        p.set("y", str(py))
+            _xml_summary(root, results_data.get("summary", {}))
+            frames = ET.SubElement(root, "frames")
+            for fr in results_data.get("results", []):
+                _xml_frame(frames, fr)
             return ET.tostring(root, encoding="unicode")
         except Exception as e:
             logger.error("XML export failed: %s", e)

@@ -103,9 +103,12 @@ def process_video_task(self, video_id: int, config: Dict[str, Any]):
             raise ValueError(f"Video file not found: {video_path}")
 
         pipeline = get_pipeline(bool(config.get("use_transformer", False)))
-        pipeline.confidence_threshold = config.get(
+        # Per-call knobs, NOT mutations of the shared singleton: two
+        # concurrent jobs with different thresholds must not race.
+        confidence_threshold = config.get(
             "confidence_threshold", settings.confidence_threshold
         )
+        temporal_dedup = bool(config.get("temporal_dedup", False))
 
         async def progress_callback(progress, processed_frames, total_frames):
             if self.is_revoked():
@@ -130,9 +133,18 @@ def process_video_task(self, video_id: int, config: Dict[str, Any]):
 
         # Partial-progress checkpoint: a retried job resumes where the
         # previous attempt stopped instead of re-OCRing from frame 0.
+        # Keyed by (video, config hash) so a rerun with a different
+        # threshold/engine never resumes from another config's frames.
         os.makedirs(settings.temp_dir, exist_ok=True)
+        import hashlib
+        import json as _json
+
+        config_key = hashlib.sha256(
+            _json.dumps(config, sort_keys=True, default=str).encode()
+        ).hexdigest()[:12]
         resume_file = os.path.join(
-            settings.temp_dir, f"resume_video_{video_id}.jsonl"
+            settings.temp_dir,
+            f"resume_video_{video_id}_{config_key}.jsonl",
         )
         results = asyncio.run(
             pipeline.process_video(
@@ -140,6 +152,8 @@ def process_video_task(self, video_id: int, config: Dict[str, Any]):
                 output_dir=settings.output_dir,
                 progress_callback=progress_callback,
                 resume_file=resume_file,
+                confidence_threshold=confidence_threshold,
+                temporal_dedup=temporal_dedup,
             )
         )
 

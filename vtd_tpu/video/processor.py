@@ -14,6 +14,7 @@ import asyncio
 import logging
 import queue
 import threading
+from contextlib import contextmanager
 from pathlib import Path
 from typing import (
     Any,
@@ -31,34 +32,54 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+@contextmanager
+def _capture(video_path: str):
+    """Open a cv2.VideoCapture, guaranteeing release."""
+    cap = cv2.VideoCapture(video_path)
+    try:
+        yield cap
+    finally:
+        cap.release()
+
+
+# Integer-valued probe properties; fps stays float.
+_INT_PROPS = {
+    "frame_count": cv2.CAP_PROP_FRAME_COUNT,
+    "width": cv2.CAP_PROP_FRAME_WIDTH,
+    "height": cv2.CAP_PROP_FRAME_HEIGHT,
+}
+
+
 class VideoProcessor:
-    """Video metadata probe + fps-throttled frame extraction."""
+    """Video metadata probe + fps-throttled frame extraction.
+
+    Behavior parity with reference ``preprocessing.py:11-98`` (probe
+    keys, supported containers, stride semantics, safe-default error
+    handling) on an own decode stack built around ``_capture`` and the
+    batched prefetcher below.
+    """
 
     def __init__(self):
-        # Reference preprocessing.py:13
+        # Container allowlist matching the reference (preprocessing.py:13)
         self.supported_formats = [".mp4", ".avi", ".mov", ".mkv", ".wmv"]
 
     def get_video_info(self, video_path: str) -> Dict[str, Any]:
-        """Probe fps/frames/size/duration (preprocessing.py:15-41)."""
+        """Probe fps/frames/size/duration; `{}` on failure (the
+        reference's safe-default contract, preprocessing.py:15-41)."""
         try:
-            cap = cv2.VideoCapture(video_path)
-            if not cap.isOpened():
-                raise ValueError(f"Cannot open video: {video_path}")
-            fps = cap.get(cv2.CAP_PROP_FPS)
-            frame_count = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-            width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-            height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-            duration = frame_count / fps if fps > 0 else 0
-            cap.release()
-            return {
-                "fps": fps,
-                "frame_count": frame_count,
-                "width": width,
-                "height": height,
-                "duration": duration,
-                "format": Path(video_path).suffix.lower(),
-            }
-        except Exception as e:  # parity: empty dict on failure
+            with _capture(video_path) as cap:
+                if not cap.isOpened():
+                    raise ValueError(f"Cannot open video: {video_path}")
+                info: Dict[str, Any] = {
+                    k: int(cap.get(prop)) for k, prop in _INT_PROPS.items()
+                }
+                info["fps"] = cap.get(cv2.CAP_PROP_FPS)
+            info["duration"] = (
+                info["frame_count"] / info["fps"] if info["fps"] > 0 else 0
+            )
+            info["format"] = Path(video_path).suffix.lower()
+            return info
+        except Exception as e:
             logger.error("Failed to get video info: %s", e)
             return {}
 
@@ -116,13 +137,13 @@ class VideoProcessor:
     def extract_single_frame(
         self, video_path: str, frame_number: int
     ) -> Optional[np.ndarray]:
-        """Random access to one frame (preprocessing.py:86-98)."""
+        """Random access to one frame; None on failure
+        (preprocessing.py:86-98 contract)."""
         try:
-            cap = cv2.VideoCapture(video_path)
-            cap.set(cv2.CAP_PROP_POS_FRAMES, frame_number)
-            ret, frame = cap.read()
-            cap.release()
-            return frame if ret else None
+            with _capture(video_path) as cap:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, frame_number)
+                ok, frame = cap.read()
+            return frame if ok else None
         except Exception as e:
             logger.error("Single frame extraction failed: %s", e)
             return None
@@ -238,46 +259,53 @@ class VideoProcessor:
                     break
 
 
-class ImageProcessor:
-    """Host-side image ops (parity: preprocessing.py:100-166).
+def letterbox_geometry(
+    height: int, width: int, target: int
+) -> Tuple[float, int, int, int, int]:
+    """(scale, new_w, new_h, x_offset, y_offset) for an
+    aspect-preserving fit of (height, width) into a target square,
+    centered. Shared host-side analog of the device letterbox in
+    ``vtd_tpu.ops.preprocess``."""
+    scale = target / max(height, width)
+    nw, nh = int(width * scale), int(height * scale)
+    return scale, nw, nh, (target - nw) // 2, (target - nh) // 2
 
-    Device-side equivalents live in ``vtd_tpu.ops.preprocess``.
+
+class ImageProcessor:
+    """Host-side image ops.
+
+    Behavior contracts from reference ``preprocessing.py:100-166``
+    (letterbox-to-square geometry, CLAHE text enhancement, padded crop,
+    /255 normalization); device-side equivalents for the hot path live
+    in ``vtd_tpu.ops.preprocess`` / ``vtd_tpu.ops.crop``.
     """
 
     @staticmethod
     def resize_with_aspect_ratio(
         image: np.ndarray, target_size: int = 640
     ) -> Tuple[np.ndarray, float]:
-        height, width = image.shape[:2]
-        scale = target_size / max(height, width)
-        nw, nh = int(width * scale), int(height * scale)
-        resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_AREA)
-        padded = np.zeros((target_size, target_size, 3), dtype=np.uint8)
-        y0 = (target_size - nh) // 2
-        x0 = (target_size - nw) // 2
-        padded[y0:y0 + nh, x0:x0 + nw] = resized
-        return padded, scale
+        scale, nw, nh, x0, y0 = letterbox_geometry(*image.shape[:2], target_size)
+        canvas = np.zeros((target_size, target_size, 3), np.uint8)
+        canvas[y0:y0 + nh, x0:x0 + nw] = cv2.resize(
+            image, (nw, nh), interpolation=cv2.INTER_AREA
+        )
+        return canvas, scale
 
     @staticmethod
     def enhance_text_regions(image: np.ndarray) -> np.ndarray:
-        """CLAHE + median blur (preprocessing.py:119-141)."""
+        """Adaptive-histogram contrast boost + salt-noise removal on the
+        luma channel; color inputs get the enhanced luma broadcast back
+        over all three channels (the reference's grayscale-overwrite
+        behavior, preprocessing.py:119-141)."""
         try:
-            gray = (
-                cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
-                if image.ndim == 3
-                else image
+            luma = image if image.ndim == 2 else cv2.cvtColor(
+                image, cv2.COLOR_BGR2GRAY
             )
-            enhanced = cv2.createCLAHE(clipLimit=3.0, tileGridSize=(8, 8)).apply(
-                gray
-            )
-            denoised = cv2.medianBlur(enhanced, 3)
-            if image.ndim == 3:
-                out = image.copy()
-                out[:, :, 0] = denoised
-                out[:, :, 1] = denoised
-                out[:, :, 2] = denoised
-                return out
-            return denoised
+            clahe = cv2.createCLAHE(clipLimit=3.0, tileGridSize=(8, 8))
+            cleaned = cv2.medianBlur(clahe.apply(luma), 3)
+            if image.ndim == 2:
+                return cleaned
+            return np.repeat(cleaned[..., None], image.shape[2], axis=2)
         except Exception as e:
             logger.error("Image enhancement failed: %s", e)
             return image
@@ -286,13 +314,11 @@ class ImageProcessor:
     def crop_text_region(
         image: np.ndarray, bbox: List[int], padding: int = 5
     ) -> np.ndarray:
+        """bbox crop grown by ``padding`` px, clamped to the frame."""
         try:
-            x1, y1, x2, y2 = bbox
-            h, w = image.shape[:2]
-            x1 = max(0, x1 - padding)
-            y1 = max(0, y1 - padding)
-            x2 = min(w, x2 + padding)
-            y2 = min(h, y2 + padding)
+            grow = np.asarray([-padding, -padding, padding, padding])
+            limit = np.asarray(image.shape[:2][::-1] * 2)  # (w, h, w, h)
+            x1, y1, x2, y2 = np.clip(np.asarray(bbox) + grow, 0, limit)
             return image[y1:y2, x1:x2]
         except Exception as e:
             logger.error("Text region cropping failed: %s", e)
@@ -300,18 +326,23 @@ class ImageProcessor:
 
     @staticmethod
     def normalize_image(image: np.ndarray) -> np.ndarray:
-        return image.astype(np.float32) / 255.0
+        return np.multiply(image, np.float32(1 / 255.0), dtype=np.float32)
 
     @staticmethod
     def denormalize_image(image: np.ndarray) -> np.ndarray:
-        return (image * 255.0).astype(np.uint8)
+        return np.asarray(image * 255.0, dtype=np.uint8)
 
 
 class AnnotationProcessor:
-    """DBNet training-label generation (parity: preprocessing.py:168-208).
+    """DBNet training-label generation on the host.
 
-    A batched pure-JAX variant lives in ``vtd_tpu.train.labels`` for
-    on-device label generation during training.
+    Same label semantics as reference ``preprocessing.py:168-208``
+    (probability map = 1 inside each bbox; threshold map = regions
+    shrunk about their centroid by ``shrink_ratio``). The probability
+    map is built as one vectorized inside-box test over all boxes — the
+    same formulation as the batched on-device version in
+    ``vtd_tpu.train.labels.make_maps`` — instead of per-box slice
+    painting.
     """
 
     @staticmethod
@@ -319,32 +350,39 @@ class AnnotationProcessor:
         image_shape: Tuple[int, int], bboxes: List[List[int]]
     ) -> np.ndarray:
         height, width = image_shape
-        prob_map = np.zeros((height, width), dtype=np.float32)
-        for x1, y1, x2, y2 in bboxes:
-            prob_map[y1:y2, x1:x2] = 1.0
-        return prob_map
+        if not len(bboxes):
+            return np.zeros((height, width), np.float32)
+        b = np.asarray(bboxes, np.int64).reshape(-1, 4)[:, :, None, None]
+        ys, xs = np.ogrid[:height, :width]
+        inside = (
+            (xs >= b[:, 0]) & (xs < b[:, 2]) & (ys >= b[:, 1]) & (ys < b[:, 3])
+        )
+        return inside.any(axis=0).astype(np.float32)
 
     @staticmethod
     def create_threshold_map(
         prob_map: np.ndarray, shrink_ratio: float = 0.4
     ) -> np.ndarray:
-        thresh_map = np.zeros_like(prob_map)
+        """Fill each foreground region's outline shrunk about its
+        centroid. Region outlines come from OpenCV (the label contract
+        is defined by its contour extraction); the shrink is a single
+        affine contraction of the contour point set."""
+        out = np.zeros_like(prob_map)
         contours, _ = cv2.findContours(
-            (prob_map * 255).astype(np.uint8),
+            np.asarray(prob_map * 255, np.uint8),
             cv2.RETR_EXTERNAL,
             cv2.CHAIN_APPROX_SIMPLE,
         )
-        for contour in contours:
-            polygon = contour.reshape(-1, 2)
-            shrunk = AnnotationProcessor._shrink_polygon(polygon, shrink_ratio)
-            cv2.fillPoly(thresh_map, [shrunk.astype(np.int32)], 1.0)
-        return thresh_map
+        for c in contours:
+            pts = c.reshape(-1, 2).astype(np.float64)
+            centroid = pts.mean(axis=0, keepdims=True)
+            shrunk = centroid + (pts - centroid) * (1.0 - shrink_ratio)
+            cv2.fillPoly(out, [shrunk.astype(np.int32)], 1.0)
+        return out
 
     @staticmethod
     def _shrink_polygon(polygon: np.ndarray, ratio: float) -> np.ndarray:
-        cx = np.mean(polygon[:, 0])
-        cy = np.mean(polygon[:, 1])
-        shrunk = polygon.astype(np.float64).copy()
-        shrunk[:, 0] = cx + (polygon[:, 0] - cx) * (1 - ratio)
-        shrunk[:, 1] = cy + (polygon[:, 1] - cy) * (1 - ratio)
-        return shrunk
+        """Affine contraction of a polygon about its centroid."""
+        pts = np.asarray(polygon, np.float64)
+        centroid = pts.mean(axis=0, keepdims=True)
+        return centroid + (pts - centroid) * (1.0 - ratio)
