@@ -1,0 +1,139 @@
+"""Multi-host work distribution: FileBroker + brokered TaskQueue.
+
+The acceptance test runs TWO real worker *processes* draining one
+shared queue — the rebuild's equivalent of the reference's N Celery
+workers on one Redis broker (reference app/celery_app.py:14-34).
+"""
+import os
+import subprocess
+import sys
+import time
+
+WORKER_SRC = r"""
+import os, sys, time
+sys.path.insert(0, os.getcwd())  # script runs from the repo root
+from vtd_tpu.serve.broker import FileBroker
+from vtd_tpu.serve.queue import TaskQueue
+
+root, worker_name = sys.argv[1], sys.argv[2]
+q = TaskQueue(concurrency=2, broker=FileBroker(root, worker_name))
+
+@q.task(name="work")
+def work(self, i):
+    # rendezvous: mark this worker as participating, then wait for the
+    # producer's 'go' so BOTH processes hold claimed tasks concurrently
+    open(os.path.join(root, "seen_" + worker_name), "w").close()
+    deadline = time.time() + 120
+    while not os.path.exists(os.path.join(root, "go")):
+        if time.time() > deadline:
+            raise TimeoutError("rendezvous timeout")
+        time.sleep(0.05)
+    return {"i": i, "worker": worker_name}
+
+q.start_workers()
+deadline = time.time() + 180
+while time.time() < deadline:
+    if q.broker.pending_count() == 0 and not any(
+        r.state in ("STARTED", "PROGRESS") for r in q.records.values()
+    ):
+        time.sleep(0.3)  # let final states flush
+        break
+    time.sleep(0.1)
+print("WORKER_DONE", worker_name)
+"""
+
+
+def test_two_processes_drain_one_queue(tmp_path):
+    from vtd_tpu.serve.broker import FileBroker
+    from vtd_tpu.serve.queue import TaskQueue
+
+    root = str(tmp_path / "broker")
+    producer = TaskQueue(concurrency=0, broker=FileBroker(root, "producer"))
+
+    @producer.task(name="work")
+    def work(self, i):  # registration only; producer never runs it
+        raise AssertionError("producer must not execute tasks")
+
+    results = [work.delay(i) for i in range(12)]
+
+    script = str(tmp_path / "worker.py")
+    with open(script, "w") as f:
+        f.write(WORKER_SRC)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, root, f"w{k}"],
+            cwd="/root/repo", env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for k in range(2)
+    ]
+    outs = []
+    try:
+        # wait until both worker processes hold a claimed task, then go
+        deadline = time.time() + 120
+        while not all(
+            os.path.exists(os.path.join(root, f"seen_w{k}"))
+            for k in range(2)
+        ):
+            assert time.time() < deadline, "workers failed to rendezvous"
+            dead = [p for p in procs if p.poll() is not None]
+            assert not dead, [p.communicate()[0] for p in dead]
+            time.sleep(0.1)
+        open(os.path.join(root, "go"), "w").close()
+        for r in results:
+            assert r.get(timeout=180)["i"] is not None
+    finally:
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=180)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append(out)
+
+    workers_seen = {r.result["worker"] for r in results}
+    assert all(r.successful() for r in results), outs
+    assert workers_seen == {"w0", "w1"}, (workers_seen, outs)
+
+
+def test_broker_claim_is_exclusive(tmp_path):
+    from vtd_tpu.serve.broker import FileBroker
+
+    a = FileBroker(str(tmp_path), "a")
+    b = FileBroker(str(tmp_path), "b")
+    a.enqueue("t1", "work", (1,), {})
+    pa, pb = a.claim(), b.claim()
+    assert (pa is None) != (pb is None)  # exactly one winner
+
+
+def test_requeue_stale_reclaims_dead_worker_task(tmp_path):
+    from vtd_tpu.serve.broker import FileBroker
+
+    br = FileBroker(str(tmp_path), "dead", heartbeat_timeout=0.2)
+    br.enqueue("t1", "work", (), {})
+    claimed = br.claim()
+    assert claimed and claimed["id"] == "t1"
+    time.sleep(0.3)  # heartbeat goes stale (worker "died")
+    assert br.requeue_stale() == ["t1"]
+    again = FileBroker(str(tmp_path), "alive").claim()
+    assert again and again["id"] == "t1"
+
+
+def test_revoke_via_broker(tmp_path):
+    from vtd_tpu.serve.broker import FileBroker
+
+    br = FileBroker(str(tmp_path), "w")
+    br.enqueue("t1", "work", (), {})
+    br.revoke("t1")
+    assert br.claim() is None  # revoked-while-pending never runs
+    assert br.get_state("t1")["state"] == "REVOKED"
+
+
+def test_init_distributed_noop_without_env(monkeypatch):
+    from vtd_tpu.core import mesh
+
+    for var in ("VTD_COORDINATOR_ADDRESS", "VTD_NUM_PROCESSES",
+                "VTD_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert mesh.init_distributed() is False  # single-process mode

@@ -19,7 +19,7 @@ def test_task_lifecycle(queue):
         return a + b
 
     res = add.delay(2, 3)
-    assert res.get(timeout=5) == 5
+    assert res.get(timeout=30) == 5
     assert res.state == "SUCCESS"
     assert res.ready() and res.successful()
 
@@ -31,7 +31,7 @@ def test_task_failure_traceback(queue):
 
     res = boom.delay()
     with pytest.raises(RuntimeError):
-        res.get(timeout=5)
+        res.get(timeout=30)
     assert res.state == "FAILURE"
     assert "kapow" in res.traceback
 
@@ -50,7 +50,7 @@ def test_progress_state(queue):
         if res.state == "PROGRESS" and (res.info or {}).get("progress") == 50:
             seen_progress = True
         time.sleep(0.01)
-    assert res.get(timeout=5) == "done"
+    assert res.get(timeout=30) == "done"
     assert seen_progress
 
 

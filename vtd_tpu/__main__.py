@@ -2,8 +2,10 @@
 
   python -m vtd_tpu process <video> [--crnn] [--threshold 0.5] [--out r.json]
   python -m vtd_tpu serve [--host H] [--port P]
+  python -m vtd_tpu worker [--broker file:///shared/queue] [--concurrency N]
   python -m vtd_tpu train-detector ...    (see train/train_detector.py)
   python -m vtd_tpu train-recognizer ...  (see train/train_recognizer.py)
+  python -m vtd_tpu train-trocr ...       (see train/trocr_trainer.py)
 """
 from __future__ import annotations
 
@@ -60,6 +62,82 @@ def _cmd_process(argv):
     return 0 if result.get("status") == "success" else 1
 
 
+def _cmd_worker(argv):
+    """Dedicated worker process: drain a shared broker queue (the
+    reference's `celery -A app.celery_app worker` counterpart). Run one
+    per TPU host; each initializes jax.distributed when configured."""
+    parser = argparse.ArgumentParser(prog="vtd_tpu worker")
+    parser.add_argument("--broker", default="",
+                        help="broker URL, e.g. file:///shared/queue "
+                             "(default: settings.celery_broker_url)")
+    parser.add_argument("--concurrency", type=int, default=2)
+    args = parser.parse_args(argv)
+
+    from .core.config import settings
+    from .core.mesh import init_distributed
+
+    if args.broker:
+        settings.celery_broker_url = args.broker
+    init_distributed()
+
+    # rebind the module-level queue to the requested broker
+    from .serve import queue as queue_mod
+
+    broker = queue_mod._broker_from_settings()
+    if broker is None:
+        print("worker requires a non-local broker (e.g. file:///shared/q)")
+        return 2
+    queue_mod.task_queue.broker = broker
+    queue_mod.task_queue.concurrency = args.concurrency
+
+    from .serve import tasks  # registers process_video_task etc.
+
+    tasks.register_beat_schedule()
+    queue_mod.task_queue.start_workers()
+    print(f"worker draining {settings.celery_broker_url} "
+          f"(concurrency={args.concurrency}); Ctrl-C to stop")
+    import time as _time
+
+    try:
+        while True:
+            _time.sleep(1.0)
+    except KeyboardInterrupt:
+        queue_mod.task_queue.shutdown()
+        return 0
+
+
+def _cmd_train_trocr(argv):
+    parser = argparse.ArgumentParser(prog="vtd_tpu train-trocr")
+    parser.add_argument("--samples", type=int, default=8192)
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument("--lr", type=float, default=6e-4)
+    parser.add_argument("--checkpoint-dir", default="./models")
+    args = parser.parse_args(argv)
+
+    from .train.trocr_trainer import (
+        TrOCRTrainer,
+        demo_config,
+        synthesize_trocr_crops,
+    )
+
+    cfg = demo_config()
+    images, texts = synthesize_trocr_crops(args.samples, cfg, seed=0)
+    val_images, val_texts = synthesize_trocr_crops(512, cfg, seed=999)
+    trainer = TrOCRTrainer(
+        {
+            "checkpoint_dir": args.checkpoint_dir,
+            "max_epochs": args.epochs,
+            "batch_size": args.batch_size,
+            "learning_rate": args.lr,
+        },
+        model_config=cfg,
+    )
+    out = trainer.train(images, texts, val_images, val_texts)
+    print(json.dumps({k: v for k, v in out.items() if k != "history"}))
+    return 0 if out.get("status") == "success" else 1
+
+
 def main():
     argv = sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):
@@ -73,6 +151,10 @@ def main():
         from .serve.app import main as serve_main
 
         return serve_main()
+    if cmd == "worker":
+        return _cmd_worker(rest)
+    if cmd == "train-trocr":
+        return _cmd_train_trocr(rest)
     if cmd == "train-detector":
         from .train.train_detector import main as td_main
 

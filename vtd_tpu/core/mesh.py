@@ -19,6 +19,49 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+_DISTRIBUTED_INITIALIZED = False
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host wiring: ``jax.distributed.initialize`` so every host in
+    a TPU pod slice sees the global device set and GSPMD collectives ride
+    ICI/DCN across hosts (the reference scaled hosts with Celery worker
+    replicas instead — reference ``app/celery_app.py:14-34``).
+
+    Arguments default to the standard env vars
+    (``VTD_COORDINATOR_ADDRESS`` / ``VTD_NUM_PROCESSES`` /
+    ``VTD_PROCESS_ID``); on Cloud TPU all three may be omitted entirely
+    and jax autodetects the slice. Returns True when initialization ran
+    (idempotent; False = single-process mode).
+    """
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return True
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "VTD_COORDINATOR_ADDRESS"
+    )
+    env_np = os.environ.get("VTD_NUM_PROCESSES")
+    env_pid = os.environ.get("VTD_PROCESS_ID")
+    if num_processes is None and env_np is not None:
+        num_processes = int(env_np)
+    if process_id is None and env_pid is not None:
+        process_id = int(env_pid)
+    if coordinator_address is None and num_processes is None:
+        return False  # single process, nothing to do
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _DISTRIBUTED_INITIALIZED = True
+    return True
+
 
 def make_mesh(
     n_data: Optional[int] = None,

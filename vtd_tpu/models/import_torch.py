@@ -219,14 +219,96 @@ def import_crnn_pth(path: str) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
-# TrOCR (HF VisionEncoderDecoder) — best-effort structural import
+# TrOCR (HF VisionEncoderDecoder layout)
 # ---------------------------------------------------------------------------
-def import_trocr_pth(path: str, cfg) -> Dict[str, Any]:
-    """HF TrOCR checkpoints use a different module taxonomy; a full
-    importer requires the matching config. This entry point exists for
-    checkpoints saved from *this* framework's TrOCR (torch re-exports);
-    HF-hub translation is future work (zero-egress image: no hub)."""
-    raise NotImplementedError(
-        "TrOCR .pth import requires an HF-layout mapper; save/restore "
-        "flax checkpoints via vtd_tpu.train.checkpoint instead"
+def _ln(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _attn(sd, prefix):
+    """HF {q,k,v,out}_proj -> flax Attention {q,k,v,o}."""
+    return {
+        "q": _dense(sd, f"{prefix}.q_proj"),
+        "k": _dense(sd, f"{prefix}.k_proj"),
+        "v": _dense(sd, f"{prefix}.v_proj"),
+        "o": _dense(sd, f"{prefix}.out_proj"),
+    }
+
+
+def import_trocr_state(sd: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """HF VisionEncoderDecoder (TrOCR) state dict -> flax variables for
+    models.trocr.TrOCR built with ``hf_config(...)`` (post-norm decoder,
+    embedding LN, +2 position offset — the HF graph exactly).
+
+    HF layout: ViT encoder under ``encoder.*``
+    (vit/modeling_vit.py taxonomy) and a TrOCRForCausalLM under
+    ``decoder.model.decoder.*`` + ``decoder.output_projection``.
+    """
+    assert cfg.post_norm_decoder and cfg.pos_offset == 2, (
+        "import_trocr_state requires an hf_config()-built TrOCRConfig"
     )
+    p: Dict[str, Any] = {}
+
+    # ---- ViT encoder ----
+    e: Dict[str, Any] = {
+        "cls_token": sd["encoder.embeddings.cls_token"],
+        "pos_embed": sd["encoder.embeddings.position_embeddings"],
+        "patch_embed": {
+            "kernel": _conv(
+                sd, "encoder.embeddings.patch_embeddings.projection.weight"
+            ),
+            "bias": sd["encoder.embeddings.patch_embeddings.projection.bias"],
+        },
+        "ln_f": _ln(sd, "encoder.layernorm"),
+    }
+    for i in range(cfg.enc_layers):
+        layer = f"encoder.encoder.layer.{i}"
+        e[f"block{i}"] = {
+            "ln1": _ln(sd, f"{layer}.layernorm_before"),
+            "attn": {
+                "q": _dense(sd, f"{layer}.attention.attention.query"),
+                "k": _dense(sd, f"{layer}.attention.attention.key"),
+                "v": _dense(sd, f"{layer}.attention.attention.value"),
+                "o": _dense(sd, f"{layer}.attention.output.dense"),
+            },
+            "ln2": _ln(sd, f"{layer}.layernorm_after"),
+            "mlp": {
+                "fc1": _dense(sd, f"{layer}.intermediate.dense"),
+                "fc2": _dense(sd, f"{layer}.output.dense"),
+            },
+        }
+    p["encoder"] = e
+
+    # ---- TrOCR decoder ----
+    pre = "decoder.model.decoder."
+    n_pos = cfg.max_len + cfg.pos_offset
+    d: Dict[str, Any] = {
+        "tok_embed": {"embedding": sd[f"{pre}embed_tokens.weight"]},
+        "pos_embed": sd[f"{pre}embed_positions.weight"][None, :n_pos],
+        "ln_emb": _ln(sd, f"{pre}layernorm_embedding"),
+    }
+    for i in range(cfg.dec_layers):
+        layer = f"{pre}layers.{i}"
+        d[f"block{i}"] = {
+            "self_attn": _attn(sd, f"{layer}.self_attn"),
+            "ln1": _ln(sd, f"{layer}.self_attn_layer_norm"),
+            "cross_attn": _attn(sd, f"{layer}.encoder_attn"),
+            "ln2": _ln(sd, f"{layer}.encoder_attn_layer_norm"),
+            "mlp": {
+                "fc1": _dense(sd, f"{layer}.fc1"),
+                "fc2": _dense(sd, f"{layer}.fc2"),
+            },
+            "ln3": _ln(sd, f"{layer}.final_layer_norm"),
+        }
+    head_w = sd.get(
+        "decoder.output_projection.weight", sd[f"{pre}embed_tokens.weight"]
+    )
+    d["lm_head"] = {"kernel": np.transpose(head_w)}
+    p["decoder"] = d
+    return {"params": p}
+
+
+def import_trocr_pth(path: str, cfg) -> Dict[str, Any]:
+    """Load an HF-layout TrOCR ``.pth``/``.pt`` checkpoint (a torch state
+    dict, or a dict with ``model_state_dict``) into flax variables."""
+    return import_trocr_state(load_state_dict(path), cfg)

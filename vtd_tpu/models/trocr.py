@@ -86,6 +86,20 @@ class TrOCRConfig:
     vocab_size: int = 98 + 3  # CharTokenizer default
     max_len: int = 50  # reference decode cap (text_recognizer.py:58)
     dtype: Any = jnp.bfloat16
+    # --- HF-compatibility knobs (microsoft/trocr-* checkpoint layout) ---
+    # The native design is pre-LN (better large-scale training
+    # stability); HF TrOCR's decoder is post-norm BART-style with an
+    # embedding LayerNorm, a +2 learned-position offset, and exact-erf
+    # gelu. These switches make the module numerically identical to the
+    # HF graph so its weights import verbatim (models/import_torch.py).
+    post_norm_decoder: bool = False
+    layernorm_embedding: bool = False
+    pos_offset: int = 0
+    scale_embedding: bool = False
+    head_bias: bool = True
+    enc_ln_eps: float = 1e-6
+    dec_ln_eps: float = 1e-6
+    gelu_exact: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -101,6 +115,36 @@ def small_config(**kw) -> TrOCRConfig:
     )
     base.update(kw)
     return TrOCRConfig(**base)
+
+
+def hf_config(
+    vocab_size: int,
+    image_size: int = 384,
+    patch_size: int = 16,
+    enc_dim: int = 768,
+    enc_layers: int = 12,
+    enc_heads: int = 12,
+    enc_mlp: int = 3072,
+    dec_dim: int = 1024,
+    dec_layers: int = 12,
+    dec_heads: int = 16,
+    dec_mlp: int = 4096,
+    max_len: int = 50,
+    scale_embedding: bool = False,
+    dtype: Any = jnp.float32,
+) -> TrOCRConfig:
+    """Config matching an HF VisionEncoderDecoder TrOCR graph (defaults
+    sized like microsoft/trocr-base-*)."""
+    return TrOCRConfig(
+        image_size=image_size, patch_size=patch_size,
+        enc_dim=enc_dim, enc_layers=enc_layers, enc_heads=enc_heads,
+        enc_mlp=enc_mlp, dec_dim=dec_dim, dec_layers=dec_layers,
+        dec_heads=dec_heads, dec_mlp=dec_mlp, vocab_size=vocab_size,
+        max_len=max_len, dtype=dtype,
+        post_norm_decoder=True, layernorm_embedding=True, pos_offset=2,
+        scale_embedding=scale_embedding, head_bias=False,
+        enc_ln_eps=1e-12, dec_ln_eps=1e-5, gelu_exact=True,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -160,11 +204,12 @@ class Mlp(nn.Module):
     dim: int
     hidden: int
     dtype: Dtype = jnp.bfloat16
+    gelu_exact: bool = False  # HF uses erf-gelu; tanh approx is TPU-cheaper
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=not self.gelu_exact)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 
@@ -177,11 +222,11 @@ class EncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
+        y = nn.LayerNorm(dtype=jnp.float32, epsilon=c.enc_ln_eps, name="ln1")(x)
         y, _ = Attention(c.enc_dim, c.enc_heads, c.dtype, name="attn")(y, y)
         x = x + y
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
-        y = Mlp(c.enc_dim, c.enc_mlp, c.dtype, name="mlp")(y)
+        y = nn.LayerNorm(dtype=jnp.float32, epsilon=c.enc_ln_eps, name="ln2")(x)
+        y = Mlp(c.enc_dim, c.enc_mlp, c.dtype, c.gelu_exact, name="mlp")(y)
         return x + y
 
 
@@ -212,7 +257,9 @@ class ViTEncoder(nn.Module):
         x = x + pos.astype(c.dtype)
         for i in range(c.enc_layers):
             x = EncoderBlock(c, name=f"block{i}")(x)
-        return nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x).astype(c.dtype)
+        return nn.LayerNorm(
+            dtype=jnp.float32, epsilon=c.enc_ln_eps, name="ln_f"
+        )(x).astype(c.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -223,34 +270,43 @@ class DecoderBlock(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.ln1 = nn.LayerNorm(dtype=jnp.float32)
+        self.ln1 = nn.LayerNorm(dtype=jnp.float32, epsilon=c.dec_ln_eps)
         self.self_attn = Attention(c.dec_dim, c.dec_heads, c.dtype)
-        self.ln2 = nn.LayerNorm(dtype=jnp.float32)
+        self.ln2 = nn.LayerNorm(dtype=jnp.float32, epsilon=c.dec_ln_eps)
         self.cross_attn = Attention(
             c.dec_dim, c.dec_heads, c.dtype, kv_dim=c.enc_dim
         )
-        self.ln3 = nn.LayerNorm(dtype=jnp.float32)
-        self.mlp = Mlp(c.dec_dim, c.dec_mlp, c.dtype)
+        self.ln3 = nn.LayerNorm(dtype=jnp.float32, epsilon=c.dec_ln_eps)
+        self.mlp = Mlp(c.dec_dim, c.dec_mlp, c.dtype, c.gelu_exact)
 
     def __call__(self, x, enc_kv, causal_mask):
-        """Full-sequence (training) forward."""
-        y = self.ln1(x).astype(self.cfg.dtype)
-        y, _ = self.self_attn(y, y, mask=causal_mask)
-        x = x + y
-        y = self.ln2(x).astype(self.cfg.dtype)
-        y, _ = self.cross_attn(y, None, kv_cache=enc_kv)
-        x = x + y
-        y = self.ln3(x).astype(self.cfg.dtype)
-        return x + self.mlp(y)
+        """Full-sequence (training) forward.
 
-    def step(self, x, self_kv, enc_kv, step_idx):
-        """One-token decode step with cache.
-
-        x [B,1,D]; self_kv (k,v) [B,Tmax,H,hd] ring buffers; returns
-        (x, updated self_kv).
+        Pre-LN natively; post-norm (attn -> add -> LN, BART order) when
+        ``cfg.post_norm_decoder`` for HF TrOCR weight parity — the same
+        ln1/ln2/ln3 parameters serve both orders.
         """
         c = self.cfg
+        if c.post_norm_decoder:
+            y, _ = self.self_attn(
+                x.astype(c.dtype), x.astype(c.dtype), mask=causal_mask
+            )
+            x = self.ln1(x + y)
+            y, _ = self.cross_attn(x.astype(c.dtype), None, kv_cache=enc_kv)
+            x = self.ln2(x + y)
+            y = self.mlp(x.astype(c.dtype))
+            return self.ln3(x + y)
         y = self.ln1(x).astype(c.dtype)
+        y, _ = self.self_attn(y, y, mask=causal_mask)
+        x = x + y
+        y = self.ln2(x).astype(c.dtype)
+        y, _ = self.cross_attn(y, None, kv_cache=enc_kv)
+        x = x + y
+        y = self.ln3(x).astype(c.dtype)
+        return x + self.mlp(y)
+
+    def _self_attn_cached(self, y, self_kv, step_idx):
+        """Append this step's K/V to the ring buffers and attend."""
         k_new, v_new = self.self_attn.project_kv(y)
         k_cache, v_cache = self_kv
         k_cache = jax.lax.dynamic_update_slice_in_dim(
@@ -262,13 +318,35 @@ class DecoderBlock(nn.Module):
         tmax = k_cache.shape[1]
         pos = jnp.arange(tmax)[None, None, None, :]  # [1,1,1,Tk]
         mask = pos <= step_idx
-        y, _ = self.self_attn(y, None, mask=mask, kv_cache=(k_cache, v_cache))
+        out, _ = self.self_attn(
+            y, None, mask=mask, kv_cache=(k_cache, v_cache)
+        )
+        return out, (k_cache, v_cache)
+
+    def step(self, x, self_kv, enc_kv, step_idx):
+        """One-token decode step with cache.
+
+        x [B,1,D]; self_kv (k,v) [B,Tmax,H,hd] ring buffers; returns
+        (x, updated self_kv).
+        """
+        c = self.cfg
+        if c.post_norm_decoder:
+            y, self_kv = self._self_attn_cached(
+                x.astype(c.dtype), self_kv, step_idx
+            )
+            x = self.ln1(x + y)
+            y, _ = self.cross_attn(x.astype(c.dtype), None, kv_cache=enc_kv)
+            x = self.ln2(x + y)
+            y = self.mlp(x.astype(c.dtype))
+            return self.ln3(x + y), self_kv
+        y = self.ln1(x).astype(c.dtype)
+        y, self_kv = self._self_attn_cached(y, self_kv, step_idx)
         x = x + y
         y = self.ln2(x).astype(c.dtype)
         y, _ = self.cross_attn(y, None, kv_cache=enc_kv)
         x = x + y
         y = self.ln3(x).astype(c.dtype)
-        return x + self.mlp(y), (k_cache, v_cache)
+        return x + self.mlp(y), self_kv
 
 
 class TrOCRDecoder(nn.Module):
@@ -279,41 +357,67 @@ class TrOCRDecoder(nn.Module):
         self.embed = nn.Embed(
             c.vocab_size, c.dec_dim, dtype=jnp.float32, name="tok_embed"
         )
+        # pos_offset: HF TrOCR's learned positions are stored with a +2
+        # row offset (BART lineage); native mode uses offset 0.
         self.pos_embed = self.param(
             "pos_embed", nn.initializers.normal(0.02),
-            (1, c.max_len, c.dec_dim), jnp.float32,
+            (1, c.max_len + c.pos_offset, c.dec_dim), jnp.float32,
         )
+        if c.layernorm_embedding:
+            self.ln_emb = nn.LayerNorm(dtype=jnp.float32, epsilon=c.dec_ln_eps)
         self.blocks = [
             DecoderBlock(c, name=f"block{i}") for i in range(c.dec_layers)
         ]
-        self.ln_f = nn.LayerNorm(dtype=jnp.float32)
-        self.head = nn.Dense(c.vocab_size, dtype=jnp.float32, name="lm_head")
+        self.ln_f = nn.LayerNorm(dtype=jnp.float32, epsilon=c.dec_ln_eps)
+        self.head = nn.Dense(
+            c.vocab_size, dtype=jnp.float32, use_bias=c.head_bias,
+            name="lm_head",
+        )
 
     def project_enc_kv(self, enc):
         return [blk.cross_attn.project_kv(enc) for blk in self.blocks]
+
+    def _embed_at(self, tokens, pos_slice):
+        c = self.cfg
+        x = self.embed(tokens)
+        if c.scale_embedding:
+            x = x * (c.dec_dim ** 0.5)
+        x = x + pos_slice
+        if c.layernorm_embedding:
+            x = self.ln_emb(x)
+        return x
 
     def __call__(self, tokens, enc):
         """Training forward: tokens [B,T] -> logits [B,T,V]."""
         c = self.cfg
         t = tokens.shape[1]
-        x = self.embed(tokens) + self.pos_embed[:, :t]
-        x = x.astype(c.dtype)
+        x = self._embed_at(
+            tokens, self.pos_embed[:, c.pos_offset:c.pos_offset + t]
+        ).astype(c.dtype)
         causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
         enc_kvs = self.project_enc_kv(enc)
         for blk, ekv in zip(self.blocks, enc_kvs):
             x = blk(x, ekv, causal)
-        return self.head(self.ln_f(x))
+        # post-norm graphs (HF) end with the last block's LN; pre-LN
+        # needs the final norm before the head.
+        if not c.post_norm_decoder:
+            x = self.ln_f(x)
+        return self.head(x)
 
     def step(self, token, enc_kvs, caches, step_idx):
         """token [B] -> (logits [B,V], new caches)."""
-        x = self.embed(token[:, None])
-        pos = jax.lax.dynamic_slice_in_dim(self.pos_embed, step_idx, 1, axis=1)
-        x = (x + pos).astype(self.cfg.dtype)
+        c = self.cfg
+        pos = jax.lax.dynamic_slice_in_dim(
+            self.pos_embed, step_idx + c.pos_offset, 1, axis=1
+        )
+        x = self._embed_at(token[:, None], pos).astype(c.dtype)
         new_caches = []
         for blk, ekv, kv in zip(self.blocks, enc_kvs, caches):
             x, kv = blk.step(x, kv, ekv, step_idx)
             new_caches.append(kv)
-        logits = self.head(self.ln_f(x))[:, 0]
+        if not c.post_norm_decoder:
+            x = self.ln_f(x)
+        logits = self.head(x)[:, 0]
         return logits, new_caches
 
 

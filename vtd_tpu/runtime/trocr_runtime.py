@@ -45,6 +45,8 @@ class TransformerRecognizer:
         seed: int = 0,
     ):
         self.tokenizer = tokenizer or CharTokenizer()
+        if config is None and model_path:
+            config = self._sidecar_config(model_path)
         self.cfg = config or TrOCRConfig(vocab_size=self.tokenizer.vocab_size)
         self.model = TrOCR(self.cfg)
         self.pad_batch = pad_batch
@@ -58,6 +60,19 @@ class TransformerRecognizer:
             self.variables = jax.jit(self.model.init)(
                 jax.random.PRNGKey(seed), dummy_img, dummy_tok
             )
+
+    @staticmethod
+    def _sidecar_config(model_path: str) -> Optional[TrOCRConfig]:
+        """Checkpoints carry their architecture in a sidecar
+        ``<ckpt>_config.json`` / ``<ckpt>/config.json`` (written by
+        train.trocr_trainer) so serving needs no out-of-band config."""
+        p = Path(model_path)
+        for cand in (p.parent / f"{p.name}_config.json", p / "config.json"):
+            if cand.exists():
+                from ..train.trocr_trainer import load_config
+
+                return load_config(str(cand))
+        return None
 
     def _load(self, model_path: str):
         p = Path(model_path)

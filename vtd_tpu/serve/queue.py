@@ -121,9 +121,19 @@ class TaskContext:
     def update_state(self, state: str = "PROGRESS", meta: Any = None):
         self.request.state = state
         self.request.info = meta
+        broker = self._backend.broker
+        if broker is not None:
+            broker.set_state(self.id, {"state": state, "info": meta})
+            broker.heartbeat(self.id)
 
     def is_revoked(self) -> bool:
-        return self.request.cancel_event.is_set()
+        if self.request.cancel_event.is_set():
+            return True
+        broker = self._backend.broker
+        if broker is not None and broker.is_revoked(self.id):
+            self.request.cancel_event.set()
+            return True
+        return False
 
 
 class RegisteredTask:
@@ -151,7 +161,13 @@ class TaskQueue:
         concurrency: int = 2,
         soft_time_limit: float = 3000.0,
         hard_time_limit: float = 3600.0,
+        broker=None,
     ):
+        # broker: optional external work queue (serve/broker.FileBroker
+        # protocol) for multi-host fleets — N worker processes/hosts
+        # drain one shared queue, Celery-over-Redis style (reference
+        # app/celery_app.py:14-34). None = in-process queue.
+        self.broker = broker
         self.tasks: Dict[str, RegisteredTask] = {}
         self.records: Dict[str, TaskRecord] = {}
         self._q: _queue.Queue = _queue.Queue()
@@ -191,25 +207,56 @@ class TaskQueue:
         )
         with self._lock:
             self.records[rec.id] = rec
-        self._q.put(rec)
+        if self.broker is not None:
+            self.broker.enqueue(rec.id, rec.name, args, kwargs, rec.queue)
+        else:
+            self._q.put(rec)
         self._ensure_workers()
         return AsyncResult(rec.id, self)
 
     def get_record(self, task_id: str) -> Optional[TaskRecord]:
-        return self.records.get(task_id)
+        rec = self.records.get(task_id)
+        if self.broker is None:
+            return rec
+        # Brokered: the task may be running on another host — merge the
+        # shared state over the local record (or synthesize one).
+        state = self.broker.get_state(task_id)
+        if state is None:
+            return rec
+        if rec is None:
+            rec = TaskRecord(id=task_id, name="", args=(), kwargs={})
+            self.records[task_id] = rec
+        if rec.state not in ("SUCCESS", "FAILURE", "REVOKED"):
+            rec.state = state.get("state", rec.state)
+            rec.info = state.get("info", rec.info)
+            if "result" in state:
+                rec.result = state["result"]
+            if "traceback" in state:
+                rec.traceback = state["traceback"]
+        return rec
 
     def revoke(self, task_id: str, terminate: bool = False) -> bool:
+        if self.broker is not None:
+            self.broker.revoke(task_id)
         rec = self.records.get(task_id)
         if not rec:
-            return False
+            return self.broker is not None
         rec.cancel_event.set()
         if rec.state == "PENDING":
             rec.state = "REVOKED"
             rec.finished_at = time.time()
             self._stats["revoked"] += 1
+            if self.broker is not None:
+                self.broker.set_state(task_id, {"state": "REVOKED"})
         return True
 
     # -- workers -----------------------------------------------------------
+    def start_workers(self):
+        """Start worker/beat/monitor threads without a submission — how a
+        dedicated worker process (multi-host fleet) attaches to a shared
+        broker and starts draining it."""
+        self._ensure_workers()
+
     def _ensure_workers(self):
         with self._lock:
             alive = [w for w in self._workers if w.is_alive()]
@@ -231,6 +278,23 @@ class TaskQueue:
 
     def _worker_loop(self):
         while not self._stop.is_set():
+            if self.broker is not None:
+                payload = self.broker.claim()
+                if payload is None:
+                    time.sleep(0.1)
+                    continue
+                rec = self.records.get(payload["id"])
+                if rec is None or rec.name == "":
+                    rec = TaskRecord(
+                        id=payload["id"], name=payload["name"],
+                        args=tuple(payload.get("args", ())),
+                        kwargs=payload.get("kwargs", {}),
+                        queue=payload.get("queue", "default"),
+                    )
+                    self.records[rec.id] = rec
+                self._run(rec)
+                self.broker.finish(rec.id)
+                continue
             try:
                 rec = self._q.get(timeout=0.2)
             except _queue.Empty:
@@ -275,6 +339,13 @@ class TaskQueue:
                     rec.result = "hard time limit exceeded"
                     rec.finished_at = now
                     self._stats["failed"] += 1
+            if self.broker is not None:
+                # keep shared-queue heartbeats fresh for locally running
+                # tasks, and reclaim tasks from dead workers (elasticity)
+                for rec in list(self.records.values()):
+                    if rec.state in ("STARTED", "PROGRESS"):
+                        _safe(self.broker.heartbeat, rec.id)
+                _safe(self.broker.requeue_stale)
             self._gc_records()
             time.sleep(0.25)
 
@@ -286,6 +357,8 @@ class TaskQueue:
             return
         rec.state = "STARTED"
         rec.started_at = time.time()
+        if self.broker is not None:
+            self.broker.set_state(rec.id, {"state": "STARTED"})
         ctx = TaskContext(rec, self)
         for hook in self.on_prerun:
             _safe(hook, rec)
@@ -307,6 +380,16 @@ class TaskQueue:
             logger.error("task %s failed: %s", rec.name, e)
         finally:
             rec.finished_at = time.time()
+            if self.broker is not None:
+                final = {"state": rec.state, "traceback": rec.traceback}
+                try:  # results ride the shared state file when JSON-able
+                    import json as _json
+
+                    _json.dumps(rec.result)
+                    final["result"] = rec.result
+                except (TypeError, ValueError):
+                    final["result"] = repr(rec.result)
+                self.broker.set_state(rec.id, final)
             for hook in self.on_postrun:
                 _safe(hook, rec)
 
@@ -345,5 +428,22 @@ def _safe(fn, *args):
         logger.exception("task signal hook failed")
 
 
+def _broker_from_settings():
+    """Settings-driven broker (reference celery_app.py:14-16 reads its
+    broker URL from settings the same way): ``file:///shared/dir`` mounts
+    a FileBroker on a shared filesystem; ``local://`` = in-process."""
+    try:
+        from ..core.config import settings
+
+        url = settings.celery_broker_url
+    except Exception:  # config unavailable in minimal test contexts
+        return None
+    if url.startswith("file://"):
+        from .broker import FileBroker
+
+        return FileBroker(url[len("file://"):])
+    return None
+
+
 # Module-level default queue (the reference's module-level celery_app).
-task_queue = TaskQueue()
+task_queue = TaskQueue(broker=_broker_from_settings())

@@ -55,20 +55,26 @@ def configure_pipeline(**kwargs) -> None:
 def get_pipeline(use_transformer: bool = False):
     # The transformer recognizer needs trained weights to be useful and
     # there is no hub download in a zero-egress deployment; without a
-    # configured checkpoint, fall back to the CRNN engine.
-    if use_transformer and not _pipeline_kwargs.get("recognizer_path"):
-        trocr_ckpt = os.path.join(settings.model_path, "text_recognizer_trocr")
-        if not os.path.exists(trocr_ckpt):
-            logger.warning(
-                "transformer recognizer requested but no checkpoint at %s;"
-                " using CRNN", trocr_ckpt,
-            )
-            use_transformer = False
+    # configured checkpoint (``transformer_path`` kwarg or the standard
+    # ``<model_path>/text_recognizer_trocr`` location, as written by
+    # train.trocr_trainer), fall back to the CRNN engine.
+    trocr_ckpt = _pipeline_kwargs.get("transformer_path") or os.path.join(
+        settings.model_path, "text_recognizer_trocr"
+    )
+    if use_transformer and not os.path.exists(trocr_ckpt):
+        logger.warning(
+            "transformer recognizer requested but no checkpoint at %s;"
+            " using CRNN", trocr_ckpt,
+        )
+        use_transformer = False
     if use_transformer not in _pipelines:
         from ..runtime.pipeline import VideoTextPipeline
 
         kwargs = dict(_pipeline_kwargs)
+        kwargs.pop("transformer_path", None)
         kwargs["use_transformer_ocr"] = use_transformer
+        if use_transformer:
+            kwargs["recognizer_path"] = trocr_ckpt
         _pipelines[use_transformer] = VideoTextPipeline(**kwargs)
     return _pipelines[use_transformer]
 
