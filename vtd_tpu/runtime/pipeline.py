@@ -80,6 +80,8 @@ class VideoTextPipeline:
         recognizer_kwargs: Optional[Dict[str, Any]] = None,
         temporal_dedup: bool = False,
         profile_dir: Optional[str] = None,
+        sample_mode: str = "stride",
+        decode_workers: int = 1,
     ):
         self.detector = TextDetector(
             detector_path, input_size=detector_input_size, max_dets=max_dets
@@ -108,6 +110,13 @@ class VideoTextPipeline:
         self.temporal_dedup = temporal_dedup
         # Opt-in jax.profiler trace around the hot loop (SURVEY §5).
         self.profile_dir = profile_dir
+        # 'keyframe' ships only scene-change frames to the device and
+        # propagates each keyframe's detections to the near-duplicate
+        # candidates it covers (video/processor.extract_frame_batches).
+        self.sample_mode = sample_mode
+        # >1 decodes contiguous video segments concurrently — decode is
+        # the 1080p bottleneck and cv2 is single-threaded per capture.
+        self.decode_workers = decode_workers
         self.use_transformer = use_transformer_ocr
         if use_transformer_ocr:
             s = self.recognizer.transformer.cfg.image_size
@@ -362,6 +371,7 @@ class VideoTextPipeline:
         resume_file: Optional[str] = None,
         confidence_threshold: Optional[float] = None,
         temporal_dedup: Optional[bool] = None,
+        sample_mode: Optional[str] = None,
     ) -> Dict[str, Any]:
         """Process a whole video (parity: pipeliine.py:34-91).
 
@@ -389,6 +399,7 @@ class VideoTextPipeline:
             else confidence_threshold
         )
         dedup = self.temporal_dedup if temporal_dedup is None else temporal_dedup
+        mode = self.sample_mode if sample_mode is None else sample_mode
         profile_ctx = (
             jax.profiler.trace(self.profile_dir)
             if self.profile_dir
@@ -437,7 +448,12 @@ class VideoTextPipeline:
                 target_fps=self.target_fps,
                 resize_to=self.host_downscale,
                 pixel_format=self.transfer_format,
+                sample_mode=mode,
+                decode_workers=self.decode_workers,
             )
+            # frame_number -> detections of keyframes, for propagation to
+            # the near-duplicate candidates each keyframe covers.
+            kf_detections: Dict[int, List[Dict[str, Any]]] = {}
 
             async def collect(batch, handles):
                 nonlocal frame_count
@@ -450,7 +466,11 @@ class VideoTextPipeline:
                     if handles is not None
                     else None
                 )
-                nvalid = int(batch["valid"].sum())
+                nvalid = (
+                    int(batch["valid"].sum())
+                    if batch.get("frames") is not None
+                    else 0
+                )
                 for i in range(nvalid):
                     fn = int(batch["frame_numbers"][i])
                     if per_frame is None:
@@ -463,7 +483,29 @@ class VideoTextPipeline:
                         }
                         if ckpt_fh is not None:
                             ckpt_fh.write(_json.dumps(rec) + "\n")
+                    kf_detections[fn] = rec["detections"]
                     all_results.append(rec)
+                # Keyframe mode: each near-duplicate candidate inherits
+                # its keyframe's detections (the diff gate certified the
+                # downsampled frames are visually identical), so results
+                # still cover every stride candidate the reference would
+                # have processed — without paying device work for it.
+                for fn, ts, ref in batch.get("dups") or []:
+                    if fn in done_frames:
+                        rec = done_frames[fn]
+                    else:
+                        rec = {
+                            "frame_number": int(fn),
+                            "timestamp": float(ts),
+                            "detections": [
+                                dict(d) for d in kf_detections.get(ref, [])
+                            ],
+                            "duplicate_of": int(ref),
+                        }
+                        if ckpt_fh is not None:
+                            ckpt_fh.write(_json.dumps(rec) + "\n")
+                    all_results.append(rec)
+                    frame_count += 1
                 if ckpt_fh is not None and per_frame is not None:
                     ckpt_fh.flush()
                 frame_count += nvalid
@@ -477,7 +519,7 @@ class VideoTextPipeline:
 
             with profile_ctx:
                 for batch in batches:
-                    already_done = all(
+                    already_done = batch.get("frames") is None or all(
                         int(fn) in done_frames
                         for fn, v in zip(
                             batch["frame_numbers"], batch["valid"]
@@ -498,6 +540,10 @@ class VideoTextPipeline:
             if ckpt_fh is not None:
                 ckpt_fh.close()
 
+            # Keyframe propagation appends dups after their keyframe's
+            # batch, and parallel segment decode interleaves batches
+            # across segments — restore canonical frame order.
+            all_results.sort(key=lambda r: r["frame_number"])
             processing_time = time.time() - start_time
             summary = summarize(all_results, processing_time, frame_count)
             if dedup:

@@ -403,6 +403,13 @@ def create_app(
             in ("true", "1"),
             "temporal_dedup": q.get("temporal_dedup", "false").lower()
             in ("true", "1"),
+            # 'keyframe' processes only scene-change frames and
+            # propagates their detections to near-duplicate candidates.
+            "sample_mode": (
+                "keyframe"
+                if q.get("sample_mode", "stride").lower() == "keyframe"
+                else "stride"
+            ),
             "batch_size": settings.batch_size,
         }
         task = process_video_task.delay(video["id"], task_config)

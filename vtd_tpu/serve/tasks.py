@@ -115,6 +115,7 @@ def process_video_task(self, video_id: int, config: Dict[str, Any]):
             "confidence_threshold", settings.confidence_threshold
         )
         temporal_dedup = bool(config.get("temporal_dedup", False))
+        sample_mode = config.get("sample_mode") or None
 
         async def progress_callback(progress, processed_frames, total_frames):
             if self.is_revoked():
@@ -160,6 +161,7 @@ def process_video_task(self, video_id: int, config: Dict[str, Any]):
                 resume_file=resume_file,
                 confidence_threshold=confidence_threshold,
                 temporal_dedup=temporal_dedup,
+                sample_mode=sample_mode,
             )
         )
 

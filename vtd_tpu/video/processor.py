@@ -91,34 +91,7 @@ class VideoProcessor:
         Stride semantics match the reference (``preprocessing.py:43-72``):
         every ``max(1, int(src_fps / target_fps))``-th decoded frame.
         """
-        cap = cv2.VideoCapture(video_path)
-        try:
-            if not cap.isOpened():
-                raise ValueError(f"Cannot open video: {video_path}")
-            source_fps = cap.get(cv2.CAP_PROP_FPS)
-            interval = max(1, int(source_fps / target_fps)) if source_fps > 0 else 1
-
-            frame_number = 0
-            extracted = 0
-            while True:
-                # grab() decodes but skips the colorspace-convert/copy of
-                # retrieve(); sampled frames pay the full cost, skipped
-                # frames only the decode.
-                if not cap.grab():
-                    break
-                if frame_number % interval == 0:
-                    ret, frame = cap.retrieve()
-                    if not ret:
-                        break
-                    ts = frame_number / source_fps if source_fps > 0 else 0.0
-                    yield frame, extracted, ts
-                    extracted += 1
-                frame_number += 1
-        except Exception as e:
-            logger.error("Frame extraction failed: %s", e)
-            return
-        finally:
-            cap.release()
+        yield from self._segment_candidates(video_path, target_fps)
 
     async def extract_frames_generator(
         self, video_path: str, target_fps: float = 10
@@ -151,6 +124,61 @@ class VideoProcessor:
     # ------------------------------------------------------------------
     # TPU-native addition: prefetched fixed-shape batches
     # ------------------------------------------------------------------
+    def _segment_candidates(
+        self,
+        video_path: str,
+        target_fps: float,
+        src_range: Optional[Tuple[int, int]] = None,
+    ) -> Generator[Tuple[np.ndarray, int, float], None, None]:
+        """Yield (frame, candidate_index, timestamp) for the stride
+        candidates whose source frame lies in ``src_range`` (a
+        [start, end) source-frame window; the whole video when None).
+
+        ``candidate_index`` = source_frame // interval — globally
+        consistent across segments, so parallel segment decoders emit
+        the exact same indices a serial pass would.
+        """
+        cap = cv2.VideoCapture(video_path)
+        try:
+            if not cap.isOpened():
+                raise ValueError(f"Cannot open video: {video_path}")
+            source_fps = cap.get(cv2.CAP_PROP_FPS)
+            interval = (
+                max(1, int(source_fps / target_fps)) if source_fps > 0 else 1
+            )
+            start, end = src_range if src_range else (0, None)
+            if start:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+            frame_number = start
+            while end is None or frame_number < end:
+                # grab() decodes but skips the colorspace-convert/copy of
+                # retrieve(); sampled frames pay the full cost, skipped
+                # frames only the decode.
+                if not cap.grab():
+                    break
+                if frame_number % interval == 0:
+                    ret, frame = cap.retrieve()
+                    if not ret:
+                        break
+                    ts = frame_number / source_fps if source_fps > 0 else 0.0
+                    yield frame, frame_number // interval, ts
+                frame_number += 1
+        except Exception as e:
+            logger.error("Frame extraction failed: %s", e)
+            return
+        finally:
+            cap.release()
+
+    @staticmethod
+    def _keyframe_signature(frame: np.ndarray) -> np.ndarray:
+        """Tiny grayscale thumbnail used for scene-change detection."""
+        luma = frame if frame.ndim == 2 else cv2.cvtColor(
+            frame, cv2.COLOR_BGR2GRAY
+        )
+        return cv2.resize(
+            luma, (64, 36), interpolation=cv2.INTER_AREA
+        ).astype(np.int16)
+
     def extract_frame_batches(
         self,
         video_path: str,
@@ -159,14 +187,18 @@ class VideoProcessor:
         prefetch: int = 2,
         resize_to: Optional[int] = None,
         pixel_format: str = "bgr",
-    ) -> Generator[Dict[str, np.ndarray], None, None]:
+        sample_mode: str = "stride",
+        keyframe_diff: float = 4.0,
+        keyframe_max_gap: Optional[int] = None,
+        decode_workers: int = 1,
+    ) -> Generator[Dict[str, Any], None, None]:
         """Yield dicts of stacked frames for one device transfer each.
 
         Every batch has exactly ``batch_size`` frames (the tail is padded
         by repeating the last frame, with ``valid`` marking real slots)
-        so the jitted detector never recompiles. Decode runs in a
-        daemon thread feeding a bounded queue (``prefetch`` batches deep),
-        overlapping CPU decode with TPU compute.
+        so the jitted detector never recompiles. Decode runs in
+        background daemon threads feeding a bounded queue (``prefetch``
+        batches deep), overlapping CPU decode with TPU compute.
 
         ``resize_to``: host-side square resize before batching. When the
         detector input is smaller than the source (it is: 640x640), the
@@ -179,29 +211,68 @@ class VideoProcessor:
         I420-packed [B, H*3/2, W] u8 — half the bytes — and the device
         program converts back to BGR (ops/preprocess.yuv420_to_bgr).
 
-        Yields {'frames': u8 array, 'frame_numbers': [B] i64,
+        ``sample_mode``: 'stride' ships every stride candidate (the
+        reference's sampling, preprocessing.py:43-72); 'keyframe' ships
+        only scene-change keyframes — a candidate whose downsampled-
+        grayscale mean abs diff vs the last shipped keyframe is below
+        ``keyframe_diff`` (and that is fewer than ``keyframe_max_gap``
+        candidates after it, default ~2s worth) is recorded in the next
+        batch's ``dups`` list as ``(frame_number, timestamp,
+        ref_frame_number)`` instead of being shipped; the pipeline
+        propagates the keyframe's detections to it.
+
+        ``decode_workers``: >1 splits the video into that many contiguous
+        source segments decoded concurrently (batches then arrive
+        interleaved across segments, still frame-ordered within each).
+        cv2 decode is single-threaded per capture, so this scales
+        decode-bound 1080p throughput with host cores.
+
+        Yields {'frames': u8 array | None, 'frame_numbers': [B] i64,
                 'timestamps': [B] f64, 'valid': [B] bool,
-                'orig_size': (h, w), 'pixel_format': str}.
+                'orig_size': (h, w), 'pixel_format': str,
+                'dups': [(fn, ts, ref_fn), ...]}.
+        A trailing dup-only batch has ``frames=None``.
         """
         q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
         stop = threading.Event()
+        max_gap = keyframe_max_gap or max(1, int(2 * target_fps))
 
-        def producer():
+        class _Stopped(Exception):
+            pass
+
+        def put(item) -> None:
+            # Stop-aware put: a consumer that abandons the generator sets
+            # ``stop``; producers blocked on a full queue must notice and
+            # unwind (releasing their VideoCapture) instead of leaking.
+            while True:
+                try:
+                    q.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    if stop.is_set():
+                        raise _Stopped()
+
+        def produce_segment(src_range: Optional[Tuple[int, int]]):
             buf_frames: List[np.ndarray] = []
             buf_nums: List[int] = []
             buf_ts: List[float] = []
+            buf_dups: List[Tuple[int, float, int]] = []
             orig_size: List[Tuple[int, int]] = []
 
             def flush():
                 n = len(buf_frames)
-                if n == 0:
+                if n == 0 and not buf_dups:
+                    return
+                if n == 0:  # trailing duplicates with no keyframe left
+                    put({"frames": None, "dups": list(buf_dups)})
+                    buf_dups.clear()
                     return
                 frames = buf_frames + [buf_frames[-1]] * (batch_size - n)
                 nums = buf_nums + [buf_nums[-1]] * (batch_size - n)
                 ts = buf_ts + [buf_ts[-1]] * (batch_size - n)
                 valid = np.zeros(batch_size, bool)
                 valid[:n] = True
-                q.put(
+                put(
                     {
                         "frames": np.stack(frames),
                         "frame_numbers": np.asarray(nums, np.int64),
@@ -209,39 +280,89 @@ class VideoProcessor:
                         "valid": valid,
                         "orig_size": orig_size[0],
                         "pixel_format": pixel_format,
+                        "dups": list(buf_dups),
                     }
                 )
                 buf_frames.clear()
                 buf_nums.clear()
                 buf_ts.clear()
+                buf_dups.clear()
 
-            try:
-                for frame, idx, ts in self.extract_frames_at_fps(
-                    video_path, target_fps
-                ):
-                    if stop.is_set():
-                        return
-                    if not orig_size:
-                        orig_size.append(frame.shape[:2])
-                    if resize_to is not None and frame.shape[:2] != (
-                        resize_to, resize_to,
-                    ):
-                        frame = cv2.resize(
-                            frame, (resize_to, resize_to),
-                            interpolation=cv2.INTER_LINEAR,
+            last_sig: Optional[np.ndarray] = None
+            last_kf = -1
+            since_kf = 0
+            for frame, idx, ts in self._segment_candidates(
+                video_path, target_fps, src_range
+            ):
+                if stop.is_set():
+                    return
+                if sample_mode == "keyframe":
+                    sig = self._keyframe_signature(frame)
+                    if last_sig is not None and since_kf < max_gap:
+                        diff = float(
+                            np.abs(sig - last_sig).mean()
                         )
-                    if pixel_format == "yuv420":
-                        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2YUV_I420)
-                    buf_frames.append(frame)
-                    buf_nums.append(idx)
-                    buf_ts.append(ts)
-                    if len(buf_frames) == batch_size:
-                        flush()
-                flush()
+                        if diff < keyframe_diff:
+                            since_kf += 1
+                            buf_dups.append((idx, ts, last_kf))
+                            continue
+                    last_sig, last_kf, since_kf = sig, idx, 0
+                if not orig_size:
+                    orig_size.append(frame.shape[:2])
+                if resize_to is not None and frame.shape[:2] != (
+                    resize_to, resize_to,
+                ):
+                    frame = cv2.resize(
+                        frame, (resize_to, resize_to),
+                        interpolation=cv2.INTER_LINEAR,
+                    )
+                if pixel_format == "yuv420":
+                    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2YUV_I420)
+                buf_frames.append(frame)
+                buf_nums.append(idx)
+                buf_ts.append(ts)
+                if len(buf_frames) == batch_size:
+                    flush()
+            flush()
+
+        def coordinator():
+            try:
+                workers = max(1, int(decode_workers))
+                if workers == 1:
+                    produce_segment(None)
+                else:
+                    info = self.get_video_info(video_path)
+                    total = int(info.get("frame_count", 0) or 0)
+                    fps = info.get("fps", 0) or 0
+                    interval = max(1, int(fps / target_fps)) if fps > 0 else 1
+                    if total <= 0:
+                        produce_segment(None)
+                    else:
+                        # Segment bounds aligned to the candidate stride
+                        # so every worker's candidates are exactly the
+                        # serial pass's.
+                        cands = (total + interval - 1) // interval
+                        per = max(1, (cands + workers - 1) // workers)
+                        ranges = []
+                        for wi in range(workers):
+                            s = wi * per * interval
+                            e = min((wi + 1) * per * interval, total)
+                            if s < total:
+                                ranges.append((s, e))
+                        threads = [
+                            threading.Thread(
+                                target=produce_segment, args=(r,), daemon=True
+                            )
+                            for r in ranges
+                        ]
+                        for t in threads:
+                            t.start()
+                        for t in threads:
+                            t.join()
             finally:
                 q.put(None)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(target=coordinator, daemon=True)
         t.start()
         try:
             while True:
@@ -251,7 +372,7 @@ class VideoProcessor:
                 yield item
         finally:
             stop.set()
-            # drain so the producer can exit a blocking put
+            # drain so producers can exit a blocking put
             while not q.empty():
                 try:
                     q.get_nowait()
