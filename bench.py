@@ -206,17 +206,17 @@ def bench_config3_device_resident() -> None:
         staged = [jax.device_put(b["frames"]) for b in batches]
         jax.block_until_ready(staged[-1])
         # warm compile
-        h = pipeline._dispatch_batch(staged[0])
+        h = pipeline.dispatch_batch(staged[0])
         jax.device_get(h[0])
 
         t0 = time.time()
         results = []
         pending = None
         for dev_frames, b in zip(staged, batches):
-            handles = pipeline._dispatch_batch(dev_frames)
+            handles = pipeline.dispatch_batch(dev_frames)
             if pending is not None:
                 results.extend(
-                    pipeline._process_batch(
+                    pipeline.process_batch(
                         pending[1]["frames"], pending[1]["valid"],
                         handles=pending[0],
                         orig_size=pending[1].get("orig_size"),
@@ -224,7 +224,7 @@ def bench_config3_device_resident() -> None:
                 )
             pending = (handles, b)
         results.extend(
-            pipeline._process_batch(
+            pipeline.process_batch(
                 pending[1]["frames"], pending[1]["valid"],
                 handles=pending[0], orig_size=pending[1].get("orig_size"),
             )

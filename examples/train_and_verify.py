@@ -93,6 +93,12 @@ def main():
         "--detector-ckpt", default="",
         help="reuse an existing detector checkpoint (skip detector training)",
     )
+    parser.add_argument(
+        "--trocr-ckpt", default="",
+        help="also run the e2e verification with the transformer "
+             "recognizer loaded from this checkpoint (train.trocr_trainer "
+             "output, e.g. demo_models2/trocr/trocr_final)",
+    )
     args = parser.parse_args()
 
     from vtd_tpu.models.dbnet import DBNet
@@ -214,6 +220,48 @@ def main():
         "avg_det_conf": round(s["avg_detection_confidence"], 3),
     }
     print(json.dumps(report["e2e"], indent=1), flush=True)
+
+    # ------------------------------------------------------------------
+    if args.trocr_ckpt:
+        print("=== e2e verification, transformer recognizer ===", flush=True)
+        with tempfile.TemporaryDirectory() as td:
+            clip = os.path.join(td, "verify_t.mp4")
+            w = cv2.VideoWriter(
+                clip, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (640, 640)
+            )
+            truth = ["HELLO", "WORLD", "123"]
+            for i in range(60):
+                frame = np.full((640, 640, 3), 230, np.uint8)
+                for k, word in enumerate(truth):
+                    cv2.putText(
+                        frame, word, (80, 160 + 160 * k),
+                        cv2.FONT_HERSHEY_SIMPLEX, 2.0, (0, 0, 0), 3,
+                    )
+                w.write(frame)
+            w.release()
+
+            pipeline = VideoTextPipeline(
+                detector_path=detector_ckpt,
+                recognizer_path=args.trocr_ckpt,
+                use_transformer_ocr=True,
+                confidence_threshold=0.5,
+                batch_size=8,
+                detector_input_size=det_size,
+            )
+            result = asyncio.run(pipeline.process_video(clip, td))
+        assert result["status"] == "success", result
+        s = result["summary"]
+        detected = set(s["detected_texts"])
+        exact = sum(1 for t in truth if t in detected)
+        report["e2e_transformer"] = {
+            "frames": s["total_frames"],
+            "detections": s["total_detections"],
+            "detected_texts": sorted(detected)[:10],
+            "truth": truth,
+            "exact_matches": exact,
+        }
+        print(json.dumps(report["e2e_transformer"], indent=1), flush=True)
+
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(report, f, indent=1)
     print("REPORT WRITTEN", flush=True)

@@ -62,6 +62,11 @@ if _HAVE_PYDANTIC_SETTINGS:
         celery_broker_url: str = "local://"
         celery_result_backend: str = "local://"
 
+        # Rate-limit counter store: "memory://" (per-process) or
+        # "sqlite:///shared/path.db" (shared across replicas — the
+        # reference used Redis for this, app/api/middleware.py:69-116).
+        rate_limit_store_url: str = "memory://"
+
         log_level: str = "INFO"
         enable_metrics: bool = True
         metrics_port: int = 9090
@@ -112,6 +117,7 @@ else:  # pragma: no cover - plain-object fallback when pydantic is missing
                 output_dir="./output",
                 celery_broker_url="local://",
                 celery_result_backend="local://",
+                rate_limit_store_url="memory://",
                 log_level="INFO",
                 enable_metrics=True,
                 metrics_port=9090,

@@ -99,7 +99,7 @@ class InferenceEngine:
             frames = np.stack(raw)
             valid = np.zeros(self.batch_size, bool)
             valid[:n] = True
-            per_frame = self.pipeline._process_batch(
+            per_frame = self.pipeline.process_batch(
                 frames, valid, orig_size=orig_size
             )
             for i, (_, fut) in enumerate(items):

@@ -363,6 +363,44 @@ class VideoTextPipeline:
         return results
 
     # ------------------------------------------------------------------
+    # Public batch API (used by runtime.engine and external batchers —
+    # e.g. a caller staging device-resident frames): dispatch_batch
+    # enqueues the fused device program and returns opaque handles;
+    # process_batch turns a batch (or its pre-dispatched handles) into
+    # per-frame detection lists.
+    def dispatch_batch(
+        self,
+        frames: np.ndarray,
+        confidence_threshold: Optional[float] = None,
+    ):
+        """Asynchronously enqueue the fused detect→postprocess→crop→
+        recognize program for one fixed-size frame batch; returns opaque
+        device handles to pass to :meth:`process_batch`. Non-blocking —
+        dispatch batch k+1 before collecting batch k to overlap host and
+        device work."""
+        return self._dispatch_batch(
+            frames, confidence_threshold=confidence_threshold
+        )
+
+    def process_batch(
+        self,
+        frames: np.ndarray,
+        valid_frames: np.ndarray,
+        handles=None,
+        orig_size=None,
+        confidence_threshold: Optional[float] = None,
+    ) -> List[List[Dict[str, Any]]]:
+        """One frame batch -> per-frame lists of recognized-region dicts
+        (the pipeline wire format). ``handles``: output of a prior
+        :meth:`dispatch_batch` for these frames; when None the batch is
+        dispatched synchronously here. ``orig_size``: true (h, w) of the
+        source when ``frames`` were host-downscaled."""
+        return self._process_batch(
+            frames, valid_frames, handles=handles, orig_size=orig_size,
+            confidence_threshold=confidence_threshold,
+        )
+
+    # ------------------------------------------------------------------
     async def process_video(
         self,
         video_path: str,

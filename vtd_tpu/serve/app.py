@@ -117,6 +117,10 @@ def create_app(
 
     # middleware: innermost-added-first => add in reverse of reference order
     app.add_middleware(logging_middleware)
+    if rate_limit_store is None:
+        from .middleware import make_window_store
+
+        rate_limit_store = make_window_store(settings.rate_limit_store_url)
     app.add_middleware(make_rate_limit_middleware(rate_limit_store))
     app.add_middleware(cors_middleware)
     app.add_middleware(security_headers_middleware)

@@ -63,6 +63,73 @@ class InMemoryWindowStore:
             return count
 
 
+class SqliteWindowStore:
+    """Fixed-window counter store shared across worker processes and
+    replicas through one sqlite file (WAL mode), so N replicas enforce
+    the configured limit rather than N× it. The reference shared this
+    state via Redis (app/api/middleware.py:69-116); a sqlite file on a
+    shared volume needs no extra service. Callers fail open on errors,
+    matching the reference's Redis-down behavior.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._local = threading.local()
+        # create schema eagerly so incr_window never races CREATE
+        con = self._conn()
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS rate_windows ("
+            "key TEXT PRIMARY KEY, count INTEGER, start REAL)"
+        )
+        con.commit()
+
+    def _conn(self):
+        con = getattr(self._local, "con", None)
+        if con is None:
+            import sqlite3
+
+            # autocommit mode; transactions are managed explicitly so
+            # BEGIN IMMEDIATE takes the write lock up front
+            con = sqlite3.connect(
+                self.path, timeout=5.0, isolation_level=None
+            )
+            con.execute("PRAGMA journal_mode=WAL")
+            con.execute("PRAGMA synchronous=NORMAL")
+            self._local.con = con
+        return con
+
+    def incr_window(self, key: str, window_s: float) -> int:
+        now = time.time()
+        con = self._conn()
+        con.execute("BEGIN IMMEDIATE")
+        try:
+            row = con.execute(
+                "SELECT count, start FROM rate_windows WHERE key=?", (key,)
+            ).fetchone()
+            if row is None or now - row[1] >= window_s:
+                count, start = 1, now
+            else:
+                count, start = row[0] + 1, row[1]
+            con.execute(
+                "INSERT OR REPLACE INTO rate_windows VALUES (?,?,?)",
+                (key, count, start),
+            )
+            con.execute("COMMIT")
+        except BaseException:
+            con.execute("ROLLBACK")
+            raise
+        return count
+
+
+def make_window_store(url: str):
+    """Build a window store from a settings URL: ``memory://`` (default,
+    per-process) or ``sqlite:///path/to/file.db`` (shared across
+    replicas)."""
+    if url.startswith("sqlite:///"):
+        return SqliteWindowStore(url[len("sqlite:///"):])
+    return InMemoryWindowStore()
+
+
 def logging_middleware(request: Request, call_next) -> Response:
     """Parity: middleware.py:20-67."""
     start = time.time()
