@@ -62,6 +62,11 @@ if _HAVE_PYDANTIC_SETTINGS:
         celery_broker_url: str = "local://"
         celery_result_backend: str = "local://"
 
+        # Worker pool: "thread" (in-process, one TPU owner per process)
+        # or "process" (Celery-prefork parity: SIGKILL-able hard time
+        # limits + max-tasks-per-child recycling, serve/procworker.py).
+        worker_pool: str = "thread"
+
         # Rate-limit counter store: "memory://" (per-process) or
         # "sqlite:///shared/path.db" (shared across replicas — the
         # reference used Redis for this, app/api/middleware.py:69-116).
@@ -117,6 +122,7 @@ else:  # pragma: no cover - plain-object fallback when pydantic is missing
                 output_dir="./output",
                 celery_broker_url="local://",
                 celery_result_backend="local://",
+                worker_pool="thread",
                 rate_limit_store_url="memory://",
                 log_level="INFO",
                 enable_metrics=True,

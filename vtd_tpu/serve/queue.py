@@ -162,12 +162,24 @@ class TaskQueue:
         soft_time_limit: float = 3000.0,
         hard_time_limit: float = 3600.0,
         broker=None,
+        worker_kind: str = "thread",
+        tasks_module: str = "vtd_tpu.serve.tasks",
+        max_tasks_per_child: int = 10,
     ):
         # broker: optional external work queue (serve/broker.FileBroker
         # protocol) for multi-host fleets — N worker processes/hosts
         # drain one shared queue, Celery-over-Redis style (reference
         # app/celery_app.py:14-34). None = in-process queue.
         self.broker = broker
+        # worker_kind="process": Celery-prefork semantics — child
+        # processes that the hard time limit (and revoke(terminate=True))
+        # can actually SIGKILL, with max_tasks_per_child recycling
+        # (serve/procworker.py). "thread" (default) marks-but-can't-stop
+        # past the hard limit; suits the one-TPU-owner-per-process model.
+        self.worker_kind = worker_kind
+        self.tasks_module = tasks_module
+        self.max_tasks_per_child = max_tasks_per_child
+        self._pool = None  # ProcessWorkerPool, created lazily
         self.tasks: Dict[str, RegisteredTask] = {}
         self.records: Dict[str, TaskRecord] = {}
         self._q: _queue.Queue = _queue.Queue()
@@ -209,9 +221,13 @@ class TaskQueue:
             self.records[rec.id] = rec
         if self.broker is not None:
             self.broker.enqueue(rec.id, rec.name, args, kwargs, rec.queue)
+            self._ensure_workers()
+        elif self.worker_kind == "process":
+            self._ensure_workers()
+            self._pool.submit(rec)
         else:
             self._q.put(rec)
-        self._ensure_workers()
+            self._ensure_workers()
         return AsyncResult(rec.id, self)
 
     def get_record(self, task_id: str) -> Optional[TaskRecord]:
@@ -242,6 +258,8 @@ class TaskQueue:
         if not rec:
             return self.broker is not None
         rec.cancel_event.set()
+        if self._pool is not None:
+            self._pool.revoke(task_id, terminate=terminate)
         if rec.state == "PENDING":
             rec.state = "REVOKED"
             rec.finished_at = time.time()
@@ -258,6 +276,23 @@ class TaskQueue:
         self._ensure_workers()
 
     def _ensure_workers(self):
+        if self.worker_kind == "process" and self.broker is None:
+            with self._lock:
+                if self._pool is None:
+                    from .procworker import ProcessWorkerPool
+
+                    self._pool = ProcessWorkerPool(
+                        self,
+                        tasks_module=self.tasks_module,
+                        concurrency=self.concurrency,
+                        max_tasks_per_child=self.max_tasks_per_child,
+                    )
+                if self._beat and self._beat_thread is None:
+                    self._beat_thread = threading.Thread(
+                        target=self._beat_loop, daemon=True
+                    )
+                    self._beat_thread.start()
+            return
         with self._lock:
             alive = [w for w in self._workers if w.is_alive()]
             self._workers = alive
@@ -410,8 +445,13 @@ class TaskQueue:
                 r.name for r in self.records.values() if r.state == "STARTED"
             ]
             pending = self._q.qsize()
+        workers = (
+            self._pool.alive_workers()
+            if self._pool is not None
+            else len([w for w in self._workers if w.is_alive()])
+        )
         return {
-            "workers": len([w for w in self._workers if w.is_alive()]),
+            "workers": workers,
             "active_tasks": active,
             "pending_tasks": pending,
             **self._stats,
@@ -419,6 +459,8 @@ class TaskQueue:
 
     def shutdown(self):
         self._stop.set()
+        if self._pool is not None:
+            self._pool.shutdown()
 
 
 def _safe(fn, *args):
@@ -445,5 +487,17 @@ def _broker_from_settings():
     return None
 
 
+def _worker_kind_from_settings() -> str:
+    try:
+        from ..core.config import settings
+
+        return getattr(settings, "worker_pool", "thread")
+    except Exception:  # config unavailable in minimal test contexts
+        return "thread"
+
+
 # Module-level default queue (the reference's module-level celery_app).
-task_queue = TaskQueue(broker=_broker_from_settings())
+task_queue = TaskQueue(
+    broker=_broker_from_settings(),
+    worker_kind=_worker_kind_from_settings(),
+)
