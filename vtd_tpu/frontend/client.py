@@ -131,12 +131,16 @@ class APIClient:
         video_id: int,
         confidence: float = 0.5,
         use_transformer: bool = True,
+        sample_mode: str = "stride",
+        temporal_dedup: bool = False,
     ) -> Optional[Dict]:
         status, body = self._request(
             "POST", f"/api/v1/processing/videos/{video_id}/detect",
             params={
                 "confidence_threshold": confidence,
                 "use_transformer": str(use_transformer).lower(),
+                "sample_mode": sample_mode,
+                "temporal_dedup": str(temporal_dedup).lower(),
             },
         )
         return body if status == 200 else None

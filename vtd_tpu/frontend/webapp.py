@@ -83,6 +83,10 @@ INDEX_HTML_TEMPLATE = """<!doctype html>
  <label>Confidence threshold: <span id="confval">0.5</span>
   <input type="range" id="conf" min="0.1" max="0.9" step="0.05" value="0.5"></label>
  <label><input type="checkbox" id="usetr"> use transformer recognizer</label>
+ <label><input type="checkbox" id="kfmode"> keyframe sampling (skip
+  near-duplicate frames; detections propagate)</label>
+ <label><input type="checkbox" id="tdedup"> temporal text dedup
+  (cross-frame tracks)</label>
  <p><button class="primary" id="startbtn">Start detection</button></p>
  <div id="procstatus"></div>
 </div>
@@ -173,7 +177,9 @@ async function fillSelect(id){
 let pollTimer=null;
 async function startProc(){
   const vid = procvid.value; if(!vid) return;
-  const q = `?confidence_threshold=${conf.value}&use_transformer=${usetr.checked}`;
+  const q = `?confidence_threshold=${conf.value}&use_transformer=${usetr.checked}`
+    + `&sample_mode=${kfmode.checked?'keyframe':'stride'}`
+    + `&temporal_dedup=${tdedup.checked}`;
   const {status, body} = await jfetch(api(`/processing/videos/${vid}/detect`+q),{method:'POST'});
   if(status!==200){procstatus.innerHTML=`<p class="err">${esc(body.detail||status)}</p>`;return;}
   const job = body; procstatus.innerHTML='<progress max="100" value="0"></progress><span id="pct"></span>';
