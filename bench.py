@@ -99,6 +99,11 @@ def _emit(metric: str, value: float, unit: str, vs_baseline: float, **diag):
         print(" ".join(f"{k}={v}" for k, v in diag.items()), file=sys.stderr)
 
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+TRAINED_DETECTOR = os.path.join(_REPO, "demo_models2/dbnet/best_bf16")
+TRAINED_CRNN = os.path.join(_REPO, "demo_models2/crnn/crnn_final")
+
+
 def _pipeline(**kw):
     from vtd_tpu.runtime import VideoTextPipeline
 
@@ -106,6 +111,13 @@ def _pipeline(**kw):
         use_transformer_ocr=False, batch_size=8, max_dets=64,
         target_fps=10.0, host_downscale=640, transfer_format="yuv420",
     )
+    # Trained demo checkpoints (examples/train_and_verify.py) give stable,
+    # realistic detection density; random init swings 5-47 det/frame
+    # run-to-run (BASELINE.md "Workload note").
+    if os.path.exists(TRAINED_DETECTOR):
+        base["detector_path"] = TRAINED_DETECTOR
+    if os.path.exists(TRAINED_CRNN):
+        base["recognizer_path"] = TRAINED_CRNN
     base.update(kw)
     return VideoTextPipeline(**base)
 

@@ -62,13 +62,18 @@ class TextDetector:
             if p.suffix in (".pth", ".pt"):
                 from ..models.import_torch import import_dbnet_pth
 
-                return import_dbnet_pth(model_path)
-            if p.is_dir():
+                variables = import_dbnet_pth(model_path)
+            elif p.is_dir():
                 from ..train.checkpoint import restore_variables
 
-                return restore_variables(model_path)
-            with open(model_path, "rb") as f:
-                return pickle.load(f)
+                variables = restore_variables(model_path)
+            else:
+                with open(model_path, "rb") as f:
+                    variables = pickle.load(f)
+            # Restored trees are host numpy arrays; without an explicit
+            # device_put every jitted call re-uploads ALL params per
+            # dispatch (catastrophic through a slow host<->device link).
+            return jax.device_put(variables)
         except Exception as e:
             logger.error("Failed to load model: %s", e)
             raise

@@ -84,13 +84,17 @@ class TextRecognizer:
             if p.suffix in (".pth", ".pt"):
                 from ..models.import_torch import import_crnn_pth
 
-                return import_crnn_pth(model_path)
-            if p.is_dir():
+                variables = import_crnn_pth(model_path)
+            elif p.is_dir():
                 from ..train.checkpoint import restore_variables
 
-                return restore_variables(model_path)
-            with open(model_path, "rb") as f:
-                return pickle.load(f)
+                variables = restore_variables(model_path)
+            else:
+                with open(model_path, "rb") as f:
+                    variables = pickle.load(f)
+            # device_put once at load: restored trees are host numpy and
+            # would otherwise re-upload per jitted call.
+            return jax.device_put(variables)
         except Exception as e:
             logger.error("Failed to load CRNN model: %s", e)
             raise

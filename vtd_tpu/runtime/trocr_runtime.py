@@ -79,13 +79,17 @@ class TransformerRecognizer:
         if p.suffix in (".pth", ".pt"):
             from ..models.import_torch import import_trocr_pth
 
-            return import_trocr_pth(model_path, self.cfg)
-        if p.is_dir():
+            variables = import_trocr_pth(model_path, self.cfg)
+        elif p.is_dir():
             from ..train.checkpoint import restore_variables
 
-            return restore_variables(model_path)
-        with open(model_path, "rb") as f:
-            return pickle.load(f)
+            variables = restore_variables(model_path)
+        else:
+            with open(model_path, "rb") as f:
+                variables = pickle.load(f)
+        # device_put once at load: restored trees are host numpy and
+        # would otherwise re-upload per jitted call.
+        return jax.device_put(variables)
 
     # ------------------------------------------------------------------
     def _prepare(self, images: List[np.ndarray]) -> np.ndarray:
