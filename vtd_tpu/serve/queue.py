@@ -370,8 +370,8 @@ class TaskQueue:
                 # hard limit only after the soft cancellation had a
                 # chance to be observed (separate monitor passes)
                 if elapsed > self.hard_time_limit and rec.cancel_event.is_set():
-                    rec.state = "FAILURE"
                     rec.result = "hard time limit exceeded"
+                    rec.state = "FAILURE"
                     rec.finished_at = now
                     self._stats["failed"] += 1
             if self.broker is not None:
@@ -387,8 +387,8 @@ class TaskQueue:
     def _run(self, rec: TaskRecord):
         task = self.tasks.get(rec.name)
         if task is None:
-            rec.state = "FAILURE"
             rec.result = f"unknown task {rec.name}"
+            rec.state = "FAILURE"
             return
         rec.state = "STARTED"
         rec.started_at = time.time()
@@ -406,9 +406,11 @@ class TaskQueue:
                 rec.state = "SUCCESS"
                 self._stats["completed"] += 1
         except Exception as e:
-            rec.state = "FAILURE"
+            # result/traceback BEFORE state: waiters poll state as the
+            # publication flag and read the others once it flips
             rec.result = str(e)
             rec.traceback = traceback.format_exc()
+            rec.state = "FAILURE"
             self._stats["failed"] += 1
             for hook in self.on_failure:
                 _safe(hook, rec, e)
