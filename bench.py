@@ -221,26 +221,27 @@ def bench_config3_device_resident() -> None:
         h = pipeline.dispatch_batch(staged[0])
         jax.device_get(h[0])
 
+        from collections import deque
+
         t0 = time.time()
         results = []
-        pending = None
-        for dev_frames, b in zip(staged, batches):
-            handles = pipeline.dispatch_batch(dev_frames)
-            if pending is not None:
-                results.extend(
-                    pipeline.process_batch(
-                        pending[1]["frames"], pending[1]["valid"],
-                        handles=pending[0],
-                        orig_size=pending[1].get("orig_size"),
-                    )
+        pending = deque()
+
+        def _drain_one():
+            h, bb = pending.popleft()
+            results.extend(
+                pipeline.process_batch(
+                    bb["frames"], bb["valid"], handles=h,
+                    orig_size=bb.get("orig_size"),
                 )
-            pending = (handles, b)
-        results.extend(
-            pipeline.process_batch(
-                pending[1]["frames"], pending[1]["valid"],
-                handles=pending[0], orig_size=pending[1].get("orig_size"),
             )
-        )
+
+        for dev_frames, b in zip(staged, batches):
+            pending.append((pipeline.dispatch_batch(dev_frames), b))
+            if len(pending) > pipeline.pipeline_depth:
+                _drain_one()
+        while pending:
+            _drain_one()
         elapsed = time.time() - t0
     frames = sum(int(b["valid"].sum()) for b in batches)
     dets = sum(len(r) for r in results)

@@ -82,6 +82,7 @@ class VideoTextPipeline:
         profile_dir: Optional[str] = None,
         sample_mode: str = "stride",
         decode_workers: int = 1,
+        pipeline_depth: int = 3,
     ):
         self.detector = TextDetector(
             detector_path, input_size=detector_input_size, max_dets=max_dets
@@ -105,6 +106,9 @@ class VideoTextPipeline:
         # 'yuv420' ships I420-packed frames (half the bytes of BGR) and
         # converts on device (ops/preprocess.yuv420_to_bgr).
         self.transfer_format = transfer_format
+        # Batches kept in flight between dispatch and collection; >1 lets
+        # the dispatch-time async result copies land before collect.
+        self.pipeline_depth = max(1, int(pipeline_depth))
         # Cross-frame text-track merging in the summary (the reference
         # only set-dedups exact strings, pipeliine.py:194-198).
         self.temporal_dedup = temporal_dedup
@@ -517,10 +521,14 @@ class VideoTextPipeline:
             all_results: List[Dict[str, Any]] = []
             frame_count = 0
 
-            # Software pipeline: dispatch batch k+1 to the device before
-            # collecting batch k, so host decode, host assembly, and TPU
-            # compute overlap (JAX dispatch is asynchronous).
-            pending = None  # (batch, handles)
+            # Software pipeline: keep `pipeline_depth` batches in flight
+            # so host decode, host assembly, TPU compute, AND the
+            # device->host result copies (started at dispatch) all
+            # overlap; by collection time a batch's byte pack has
+            # usually already landed on the host.
+            from collections import deque
+
+            pending: deque = deque()  # of (batch, handles)
             batches = self.video_processor.extract_frame_batches(
                 video_path,
                 batch_size=self.batch_size,
@@ -611,11 +619,11 @@ class VideoTextPipeline:
                             batch["frames"], confidence_threshold=thr
                         )
                     )
-                    if pending is not None:
-                        await collect(*pending)
-                    pending = (batch, handles)
-                if pending is not None:
-                    await collect(*pending)
+                    pending.append((batch, handles))
+                    if len(pending) > self.pipeline_depth:
+                        await collect(*pending.popleft())
+                while pending:
+                    await collect(*pending.popleft())
             if ckpt_fh is not None:
                 ckpt_fh.close()
 
