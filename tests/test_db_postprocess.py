@@ -56,6 +56,54 @@ def test_connected_components_counts():
     assert len(np.unique(fg)) == 3
 
 
+def test_connected_components_adversarial_shapes():
+    """Exact-mode scan convergence on shapes worse than any real text
+    blob: a multi-arm spiral, diagonal staircases, and dense random
+    noise (cv2 8-connectivity is the oracle). The production default
+    (fixed 3 rounds) is gated by the cv2 box-parity tests instead —
+    text-like blobs converge within 3 rounds."""
+    import jax.numpy as jnp
+    from vtd_tpu.ops.db_postprocess import connected_components_scan
+
+    size = 160
+    maps = []
+    spiral = np.zeros((size, size), bool)
+    r, c = size // 2, size // 2
+    step = 3
+    length = 4
+    dr, dc = 0, 1
+    for _ in range(18):  # rectangular spiral, 3px-wide arms
+        rr, cc = r + dr * length, c + dc * length
+        lo_r, hi_r = sorted((r, rr))
+        lo_c, hi_c = sorted((c, cc))
+        spiral[
+            max(lo_r, 0):min(hi_r + step, size),
+            max(lo_c, 0):min(hi_c + step, size),
+        ] = True
+        r, c = rr, cc
+        dr, dc = dc, -dr  # turn
+        length += 4
+    maps.append(spiral)
+
+    stairs = np.zeros((size, size), bool)
+    for i in range(0, size - 2, 2):  # pure diagonal chain (8-conn only)
+        stairs[i:i + 2, i:i + 2] = True
+    maps.append(stairs)
+
+    rng = np.random.default_rng(7)
+    maps.append(rng.random((size, size)) < 0.45)
+
+    for m in maps:
+        n_ref, _ = cv2.connectedComponents(
+            m.astype(np.uint8), connectivity=8
+        )
+        labels = np.asarray(
+            connected_components_scan(jnp.asarray(m), max_rounds=32)
+        )
+        ours = len(np.unique(labels.reshape(size, size)[m]))
+        assert ours == n_ref - 1, (ours, n_ref - 1)
+
+
 @pytest.mark.parametrize(
     "rects",
     [

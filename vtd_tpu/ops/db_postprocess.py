@@ -66,20 +66,66 @@ def _segmented_min_scan(
     return m
 
 
+def _segmented_min_packed(
+    vals: jnp.ndarray,
+    fg: jnp.ndarray,
+    axis: int,
+    reverse: bool,
+    val_bits: int,
+) -> jnp.ndarray:
+    """Segmented prefix-min via ONE native cummax on packed int32 keys.
+
+    key = run_id << val_bits | (VMAX - val): the cummax keeps the entry
+    with the highest run id (i.e. the current run — background cells
+    bump run_id via a cumsum), and within a run the highest complement,
+    i.e. the smallest value. Two single-array native scans (cumsum +
+    cummax) replace the tuple associative_scan, which XLA lowers to a
+    far heavier odd/even recursion. Requires val_bits + run_bits <= 31;
+    callers must check (connected_components_scan falls back to the
+    tuple scan otherwise).
+    """
+    vmax = (1 << val_bits) - 1
+    bump = (~fg).astype(jnp.int32)
+    if reverse:
+        run_id = jnp.flip(
+            jnp.cumsum(jnp.flip(bump, axis=axis), axis=axis), axis=axis
+        )
+    else:
+        run_id = jnp.cumsum(bump, axis=axis)
+    enc = jnp.where(fg, vmax - jnp.minimum(vals, vmax), 0)
+    packed = (run_id << val_bits) | enc
+    m = jax.lax.cummax(packed, axis=axis, reverse=reverse)
+    return vmax - (m & vmax)
+
+
 def connected_components_scan(
-    binary: jnp.ndarray, rounds: int = 3
+    binary: jnp.ndarray, min_rounds: int = 3, max_rounds: int = 3
 ) -> jnp.ndarray:
     """8-connected component labels via segmented run scans.
 
     Where the sweep kernel moves labels one pixel per iteration, a
     segmented cummin moves them across an entire foreground RUN in one
     log-depth scan, so each H+V round covers arbitrary row/column spans
-    and ``rounds`` only needs to cover the zigzag depth of a component
-    (2-3 for text-like blobs). 8-connectivity comes from taking the
-    3-wide cross-axis minimum before each scan: a diagonal neighbor's
-    label enters the run via the adjacent column/row. A pointer jump
-    (``label <- label[label]``) after each round gives the usual
-    logarithmic path compression for snake-shaped components.
+    and the round count only needs to cover the zigzag depth of a
+    component (2-3 for text-like blobs). 8-connectivity comes from
+    seeding each scan with the full 8-neighborhood minimum, so corner-
+    only adjacency propagates even across background gaps. A
+    pointer jump (``label <- label[label]``) after each round gives the
+    usual logarithmic path compression for snake-shaped components.
+
+    ``min_rounds`` are unrolled unconditionally; when
+    ``max_rounds > min_rounds`` further rounds run under a
+    lax.while_loop until a fixed point. Stability under a full round
+    implies stability under single-step 8-neighbor min propagation,
+    which forces labels constant across every component edge — i.e.
+    the exact labeling (validated vs cv2.connectedComponents on
+    spiral/staircase/noise maps in tests/test_db_postprocess.py with
+    ``max_rounds=32``). The production default is FIXED 3 rounds: text
+    probability-map blobs converge within 3 (the cv2 box-parity tests
+    are the gate), and the dynamic while both compiles and runs
+    measurably slower on TPU than the unrolled fast path (e2e bench
+    91 -> 59 fps when every batch pays worst-lane rounds + per-
+    iteration convergence reduces).
 
     Same contract as :func:`connected_components`.
     """
@@ -89,34 +135,64 @@ def connected_components_scan(
     fg = binary
     labels = jnp.arange(hw, dtype=jnp.int32).reshape(h, w)
 
+    val_bits = max(1, (hw - 1).bit_length())
+    run_bits = max(h, w).bit_length()
+    if val_bits + run_bits <= 31:
+        def seg_min(vals, axis, reverse):
+            return _segmented_min_packed(
+                vals, fg, axis, reverse, val_bits
+            )
+    else:  # pragma: no cover - maps this large never occur in the pipeline
+        def seg_min(vals, axis, reverse):
+            return _segmented_min_scan(vals, fg, axis, reverse)
+
     col = jnp.full((h, 1), big, jnp.int32)
     row = jnp.full((1, w), big, jnp.int32)
 
-    def min3_v(m):  # min over (r-1,c),(r,c),(r+1,c)
-        up = jnp.concatenate([m[1:], row], axis=0)
-        dn = jnp.concatenate([row, m[:-1]], axis=0)
-        return jnp.minimum(jnp.minimum(up, dn), m)
-
-    def min3_h(m):
+    def min8(m):
+        # min over the full 8-neighborhood + self (separable shifts).
+        # The seed for each scan must include DIAGONAL neighbors: a
+        # 3-wide cross-axis min misses corner-only adjacency when the
+        # in-between cell is background (the staircase test case).
         lt = jnp.concatenate([m[:, 1:], col], axis=1)
         rt = jnp.concatenate([col, m[:, :-1]], axis=1)
-        return jnp.minimum(jnp.minimum(lt, rt), m)
+        horiz = jnp.minimum(jnp.minimum(lt, rt), m)
+        up = jnp.concatenate([horiz[1:], row], axis=0)
+        dn = jnp.concatenate([row, horiz[:-1]], axis=0)
+        return jnp.minimum(jnp.minimum(up, dn), horiz)
 
-    def round_body(_, lbl):
+    def one_round(lbl):
         masked = jnp.where(fg, lbl, big)
-        pre = min3_v(masked)
-        f = _segmented_min_scan(pre, fg, axis=1, reverse=False)
-        b = _segmented_min_scan(pre, fg, axis=1, reverse=True)
+        pre = min8(masked)
+        f = seg_min(pre, axis=1, reverse=False)
+        b = seg_min(pre, axis=1, reverse=True)
         lbl = jnp.where(fg, jnp.minimum(lbl, jnp.minimum(f, b)), lbl)
         masked = jnp.where(fg, lbl, big)
-        pre = min3_h(masked)
-        f = _segmented_min_scan(pre, fg, axis=0, reverse=False)
-        b = _segmented_min_scan(pre, fg, axis=0, reverse=True)
+        pre = min8(masked)
+        f = seg_min(pre, axis=0, reverse=False)
+        b = seg_min(pre, axis=0, reverse=True)
         lbl = jnp.where(fg, jnp.minimum(lbl, jnp.minimum(f, b)), lbl)
         flat = lbl.reshape(-1)
         return flat[flat].reshape(h, w)  # pointer jump
 
-    return jax.lax.fori_loop(0, rounds, round_body, labels).reshape(-1)
+    lbl = labels
+    for _ in range(min_rounds):  # unrolled fast path, no change checks
+        lbl = one_round(lbl)
+
+    if max_rounds > min_rounds:  # opt-in exact mode
+        def cond(carry):
+            i, _, changed = carry
+            return changed & (i < max_rounds)
+
+        def body(carry):
+            i, cur, _ = carry
+            nxt = one_round(cur)
+            return i + 1, nxt, jnp.any(nxt != cur)
+
+        _, lbl, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(min_rounds), lbl, jnp.bool_(True))
+        )
+    return lbl.reshape(-1)
 
 
 def connected_components(
@@ -181,7 +257,7 @@ def connected_components(
     jax.jit,
     static_argnames=(
         "max_dets", "min_area", "num_angles", "refine_steps", "cc_iters",
-        "work_stride",
+        "work_stride", "stage",
     ),
 )
 def db_postprocess(
@@ -194,6 +270,7 @@ def db_postprocess(
     refine_steps: int = 9,
     cc_iters: int = 8,
     work_stride: int = 2,
+    stage: str = "full",
 ) -> Dict[str, jnp.ndarray]:
     """[H, W] float prob map -> fixed-size detection arrays.
 
@@ -218,6 +295,8 @@ def db_postprocess(
     n = hs * ws
 
     labels = connected_components(binary, dense_iters=cc_iters, jump_rounds=4)
+    if stage == "cc":  # profiling cut point (tools/profile_device.py)
+        return {"labels": labels}
 
     # ---- full-resolution boundary, folded to per-cell pixel bits -------
     # For ANY projection direction, a component's min/max projection is
@@ -276,6 +355,8 @@ def db_postprocess(
     # in-run labels that can collide with a real root — point them at
     # the sentinel label so they never alias a real component.
     safe_roots = jnp.where(valid, top_roots, n)
+    if stage == "topk":  # profiling cut point
+        return {"roots": safe_roots, "areas": areas, "valid": valid}
 
     # ---- per-component boundary cells -> full-res pixel coordinates ----
     m_cells = 512
@@ -305,6 +386,8 @@ def db_postprocess(
     pmask = (cell_mask[:, :, None] & bnd4[cells]).reshape(
         k, m_cells * st * st
     )
+    if stage == "boundary":  # profiling cut point
+        return {"xs": xs_c, "ys": ys_c, "pmask": pmask, "valid": valid}
 
     def _cal_minmax(vals):  # [K, M] masked min+max
         vmin = jnp.min(jnp.where(pmask, vals, jnp.inf), axis=1)
