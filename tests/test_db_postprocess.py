@@ -110,6 +110,10 @@ def test_connected_components_adversarial_shapes():
         [(320, 320, 200, 60, 0)],
         [(200, 150, 180, 50, 25)],
         [(150, 100, 120, 40, 0), (450, 400, 220, 70, -30), (320, 550, 90, 45, 60)],
+        # thin rotated banners: contiguous DIAGONAL cell runs that
+        # fragment without the diagonal ladder round
+        [(320, 320, 400, 20, 45)],
+        [(320, 320, 500, 14, -45)],
     ],
 )
 def test_minarearect_parity_with_cv2(rects):

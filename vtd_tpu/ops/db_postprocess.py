@@ -51,7 +51,13 @@ def _segmented_min_scan(
     """Per-run minimum along ``axis``: background cells reset the run.
 
     Classic segmented-scan monoid (v,f)+(w,g) = (g ? w : min(v,w), f|g);
-    log-depth on TPU via associative_scan (pure VPU elementwise levels).
+    log-depth on TPU via associative_scan. Measured alternatives that
+    LOST on TPU v5e (device-timeline profiling, tools/profile_device.py,
+    [8,320,320] maps): packing (run_id, value) into int32 keys driven by
+    native lax.cummax/cumsum (~1.7x slower in the full program), and
+    Hillis-Steele shift-doubling with static slice+concat steps (~2x
+    slower — every step is a full-array relayout copy). XLA's odd/even
+    associative_scan recursion wins because its levels fuse.
     """
     big = jnp.int32(2 ** 30)
 
@@ -64,38 +70,6 @@ def _segmented_min_scan(
         comb, (jnp.where(fg, vals, big), ~fg), axis=axis, reverse=reverse
     )
     return m
-
-
-def _segmented_min_packed(
-    vals: jnp.ndarray,
-    fg: jnp.ndarray,
-    axis: int,
-    reverse: bool,
-    val_bits: int,
-) -> jnp.ndarray:
-    """Segmented prefix-min via ONE native cummax on packed int32 keys.
-
-    key = run_id << val_bits | (VMAX - val): the cummax keeps the entry
-    with the highest run id (i.e. the current run — background cells
-    bump run_id via a cumsum), and within a run the highest complement,
-    i.e. the smallest value. Two single-array native scans (cumsum +
-    cummax) replace the tuple associative_scan, which XLA lowers to a
-    far heavier odd/even recursion. Requires val_bits + run_bits <= 31;
-    callers must check (connected_components_scan falls back to the
-    tuple scan otherwise).
-    """
-    vmax = (1 << val_bits) - 1
-    bump = (~fg).astype(jnp.int32)
-    if reverse:
-        run_id = jnp.flip(
-            jnp.cumsum(jnp.flip(bump, axis=axis), axis=axis), axis=axis
-        )
-    else:
-        run_id = jnp.cumsum(bump, axis=axis)
-    enc = jnp.where(fg, vmax - jnp.minimum(vals, vmax), 0)
-    packed = (run_id << val_bits) | enc
-    m = jax.lax.cummax(packed, axis=axis, reverse=reverse)
-    return vmax - (m & vmax)
 
 
 def connected_components_scan(
@@ -135,16 +109,8 @@ def connected_components_scan(
     fg = binary
     labels = jnp.arange(hw, dtype=jnp.int32).reshape(h, w)
 
-    val_bits = max(1, (hw - 1).bit_length())
-    run_bits = max(h, w).bit_length()
-    if val_bits + run_bits <= 31:
-        def seg_min(vals, axis, reverse):
-            return _segmented_min_packed(
-                vals, fg, axis, reverse, val_bits
-            )
-    else:  # pragma: no cover - maps this large never occur in the pipeline
-        def seg_min(vals, axis, reverse):
-            return _segmented_min_scan(vals, fg, axis, reverse)
+    def seg_min(vals, axis, reverse):
+        return _segmented_min_scan(vals, fg, axis, reverse)
 
     col = jnp.full((h, 1), big, jnp.int32)
     row = jnp.full((1, w), big, jnp.int32)
@@ -161,23 +127,67 @@ def connected_components_scan(
         dn = jnp.concatenate([row, horiz[:-1]], axis=0)
         return jnp.minimum(jnp.minimum(up, dn), horiz)
 
-    def one_round(lbl):
-        masked = jnp.where(fg, lbl, big)
-        pre = min8(masked)
-        f = seg_min(pre, axis=1, reverse=False)
-        b = seg_min(pre, axis=1, reverse=True)
-        lbl = jnp.where(fg, jnp.minimum(lbl, jnp.minimum(f, b)), lbl)
-        masked = jnp.where(fg, lbl, big)
-        pre = min8(masked)
-        f = seg_min(pre, axis=0, reverse=False)
-        b = seg_min(pre, axis=0, reverse=True)
-        lbl = jnp.where(fg, jnp.minimum(lbl, jnp.minimum(f, b)), lbl)
+    from .pallas_kernels import pallas_supported, segmented_cc_round
+
+    use_pallas = pallas_supported()
+
+    def xla_diag_ladder(lbl):
+        # Diagonal segmented doubling (XLA fallback of the kernel's
+        # diag_pass): thin rotated strokes are contiguous DIAGONAL cell
+        # runs, which H/V passes only cross one short run per round.
+        ri = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        fg_i = fg.astype(jnp.int32)
+        for sr, sc in ((1, 1), (-1, -1), (1, -1), (-1, 1)):
+            lf, rf = jnp.where(fg, lbl, big), fg_i
+            d = 1
+            while d < min(h, w):
+                valid = (
+                    (ri >= d if sr > 0 else ri < h - d)
+                    & (ci >= d if sc > 0 else ci < w - d)
+                )
+                lsh = jnp.where(
+                    valid, jnp.roll(lf, (sr * d, sc * d), (0, 1)), big
+                )
+                rsh = jnp.where(
+                    valid, jnp.roll(rf, (sr * d, sc * d), (0, 1)), 0
+                )
+                lf = jnp.where(rf > 0, jnp.minimum(lf, lsh), lf)
+                rf = rf * rsh
+                d *= 2
+            lbl = jnp.where(fg, jnp.minimum(lbl, lf), lbl)
+        return lbl
+
+    def one_round(lbl, diag=False):
+        if use_pallas:
+            # same recurrence, VMEM-resident (ops/pallas_kernels.py)
+            lbl = segmented_cc_round(fg, lbl, diag=diag)
+        else:
+            masked = jnp.where(fg, lbl, big)
+            pre = min8(masked)
+            f = seg_min(pre, axis=1, reverse=False)
+            b = seg_min(pre, axis=1, reverse=True)
+            lbl = jnp.where(
+                fg, jnp.minimum(lbl, jnp.minimum(f, b)), lbl
+            )
+            masked = jnp.where(fg, lbl, big)
+            pre = min8(masked)
+            f = seg_min(pre, axis=0, reverse=False)
+            b = seg_min(pre, axis=0, reverse=True)
+            lbl = jnp.where(
+                fg, jnp.minimum(lbl, jnp.minimum(f, b)), lbl
+            )
+            if diag:
+                lbl = xla_diag_ladder(lbl)
         flat = lbl.reshape(-1)
         return flat[flat].reshape(h, w)  # pointer jump
 
     lbl = labels
-    for _ in range(min_rounds):  # unrolled fast path, no change checks
-        lbl = one_round(lbl)
+    for i in range(min_rounds):  # unrolled fast path, no change checks
+        # diagonal ladders ride the middle round: by then H/V passes
+        # have consolidated per-run fragments, and one diagonal ladder
+        # merges thin rotated strokes end-to-end
+        lbl = one_round(lbl, diag=(i == 1))
 
     if max_rounds > min_rounds:  # opt-in exact mode
         def cond(carry):
@@ -186,7 +196,7 @@ def connected_components_scan(
 
         def body(carry):
             i, cur, _ = carry
-            nxt = one_round(cur)
+            nxt = one_round(cur, diag=True)
             return i + 1, nxt, jnp.any(nxt != cur)
 
         _, lbl, _ = jax.lax.while_loop(
@@ -411,29 +421,44 @@ def db_postprocess(
     init = (jnp.full((k,), jnp.inf), jnp.zeros((k,)))
     _, best_theta = jax.lax.fori_loop(0, num_angles, coarse_body, init)
 
-    # ---- per-detection refinement around the coarse angle --------------
+    # ---- per-detection hierarchical refinement around the coarse angle --
+    # Each stage searches best +- span in refine_steps points, then the
+    # next stage narrows span by (refine_steps-1)/2. Three stages at 9
+    # steps reach ~0.03 deg; angle error costs IoU proportional to the
+    # box aspect ratio, so long thin banners (aspect ~35) need this —
+    # one 0.5-deg stage capped them at IoU ~0.93 vs cv2's exact hull
+    # angle.
     coarse_step = (jnp.pi / 2) / num_angles
+    theta = best_theta
+    span = coarse_step
+    for _stage in range(3):
+        def refine_body(r, carry, span=span, center=theta):
+            best_area, best_t = carry
+            frac = (r / max(refine_steps - 1, 1)) * 2.0 - 1.0  # [-1, 1]
+            cand = center + frac * span  # [K]
+            c, s = jnp.cos(cand)[:, None], jnp.sin(cand)[:, None]
+            umin, umax = _cal_minmax(xs_c * c + ys_c * s)
+            vmin, vmax = _cal_minmax(-xs_c * s + ys_c * c)
+            a = (umax - umin) * (vmax - vmin)
+            better = a < best_area
+            return (
+                jnp.where(better, a, best_area),
+                jnp.where(better, cand, best_t),
+            )
 
-    def refine_body(r, carry):
-        best_area, best_t = carry
-        frac = (r / max(refine_steps - 1, 1)) * 2.0 - 1.0  # [-1, 1]
-        cand = best_theta + frac * coarse_step  # [K]
-        c, s = jnp.cos(cand)[:, None], jnp.sin(cand)[:, None]
-        umin, umax = _cal_minmax(xs_c * c + ys_c * s)
-        vmin, vmax = _cal_minmax(-xs_c * s + ys_c * c)
-        a = (umax - umin) * (vmax - vmin)
-        better = a < best_area
-        return jnp.where(better, a, best_area), jnp.where(better, cand, best_t)
-
-    _, theta = jax.lax.fori_loop(
-        0, refine_steps, refine_body, (jnp.full((k,), jnp.inf), best_theta)
-    )
+        _, theta = jax.lax.fori_loop(
+            0, refine_steps, refine_body,
+            (jnp.full((k,), jnp.inf), theta),
+        )
+        span = span * 2.0 / max(refine_steps - 1, 1)
 
     # ---- final extents + corners at the refined angle ------------------
     c, s = jnp.cos(theta)[:, None], jnp.sin(theta)[:, None]
-    # boundary coords are full-res pixel indices; expand extents by the
-    # half-pixel radius so rects cover whole pixels
-    half = 0.5
+    # Boundary coords are full-res pixel indices. cv2.minAreaRect
+    # measures to contour pixel CENTERS, so parity demands NO half-pixel
+    # expansion: +0.5 per side costs ~1px per dimension, which is ~7%
+    # IoU on a 14px-thin banner (caught by the thin-banner parity test).
+    half = 0.0
     umin, umax = _cal_minmax(xs_c * c + ys_c * s)
     vmin, vmax = _cal_minmax(-xs_c * s + ys_c * c)
     umin, umax = umin - half, umax + half

@@ -76,6 +76,126 @@ def neighbor_min_sweeps(
     )(binary, labels2d)
 
 
+def _seg_round_kernel(binary_ref, labels_ref, out_ref, *, diag: bool):
+    """One segmented-propagation round, fully VMEM-resident.
+
+    min8 seed (8-neighborhood minimum, so corner-only adjacency
+    propagates) followed by reach-doubling along rows then columns:
+    r_d[i] marks d consecutive foreground cells ending at i and L_d[i]
+    the label minimum over that window, with
+        L_2d[i] = r_d[i] ? min(L_d[i], L_d[i-d]) : L_d[i]
+        r_2d[i] = r_d[i] & r_d[i-d]
+    so one log2(W)-step ladder propagates labels across an entire
+    foreground run. All steps are rolls + elementwise VPU ops on the
+    VMEM-resident map — no gathers, no scans, no HBM round trips
+    (the XLA associative_scan formulation of the same recurrence costs
+    a full-array relayout copy per level).
+    """
+    big = jnp.int32(2 ** 30)
+    fg = binary_ref[:]
+    h, w = fg.shape
+    lbl = labels_ref[:]
+
+    def min8(m):
+        masked = jnp.where(fg, m, big)
+        out = _shift_min(masked, big)
+        return jnp.where(fg, jnp.minimum(m, out), m)
+
+    def axis_pass(lbl, axis):
+        n = w if axis == 1 else h
+        idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), axis)
+        seed = jnp.where(fg, lbl, big)
+        fg_i = fg.astype(jnp.int32)  # mosaic can't rotate i1 vectors
+        for reverse in (False, True):
+            lf, rf = seed, fg_i
+            d = 1
+            while d < n:
+                if reverse:
+                    valid = idx < n - d
+                    sh = n - d  # circular: roll by n-d == roll by -d
+                else:
+                    valid = idx >= d
+                    sh = d
+                lsh = jnp.where(
+                    valid, pltpu.roll(lf, sh, axis=axis), big
+                )
+                rsh = jnp.where(
+                    valid, pltpu.roll(rf, sh, axis=axis), 0
+                )
+                lf = jnp.where(rf > 0, jnp.minimum(lf, lsh), lf)
+                rf = rf * rsh
+                d *= 2
+            lbl = jnp.where(fg, jnp.minimum(lbl, lf), lbl)
+        return lbl
+
+    def diag_pass(lbl):
+        # Segmented ladders along both diagonals: a thin 45-degree
+        # stroke is a contiguous diagonal run of cells, so one ladder
+        # merges it end-to-end where axis passes advance only one
+        # short H/V run per round (the 500x14px -45-degree banner
+        # fragmented at IoU 0.54 without this).
+        ri = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        fg_i = fg.astype(jnp.int32)
+        for sr, sc in ((1, 1), (-1, -1), (1, -1), (-1, 1)):
+            lf, rf = jnp.where(fg, lbl, big), fg_i
+            d = 1
+            while d < min(h, w):
+                valid = (
+                    (ri >= d if sr > 0 else ri < h - d)
+                    & (ci >= d if sc > 0 else ci < w - d)
+                )
+                rsh_r = d if sr > 0 else h - d
+                rsh_c = d if sc > 0 else w - d
+
+                def dshift(x, fill):
+                    y = pltpu.roll(x, rsh_r, axis=0)
+                    y = pltpu.roll(y, rsh_c, axis=1)
+                    return jnp.where(valid, y, fill)
+
+                lsh = dshift(lf, big)
+                rsh = dshift(rf, 0)
+                lf = jnp.where(rf > 0, jnp.minimum(lf, lsh), lf)
+                rf = rf * rsh
+                d *= 2
+            lbl = jnp.where(fg, jnp.minimum(lbl, lf), lbl)
+        return lbl
+
+    lbl = min8(lbl)
+    lbl = axis_pass(lbl, 1)
+    lbl = min8(lbl)
+    lbl = axis_pass(lbl, 0)
+    if diag:
+        lbl = diag_pass(lbl)
+    out_ref[:] = lbl
+
+
+@partial(jax.jit, static_argnames=("diag", "interpret"))
+def segmented_cc_round(
+    binary: jnp.ndarray,
+    labels2d: jnp.ndarray,
+    diag: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """binary [H, W] bool, labels2d [H, W] int32 -> labels after one
+    full segmented-propagation round (TPU, or interpret=True for CPU
+    tests; callers pointer-jump between rounds in XLA). ``diag`` adds
+    ladders along both diagonals for thin rotated strokes."""
+    kwargs = {}
+    if _HAVE_PLTPU and not interpret:
+        kwargs["in_specs"] = [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        kwargs["out_specs"] = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_seg_round_kernel, diag=diag),
+        out_shape=jax.ShapeDtypeStruct(labels2d.shape, labels2d.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(binary, labels2d)
+
+
 def pallas_supported() -> bool:
     """True when running on a real TPU backend (mosaic compile path)."""
     try:
