@@ -57,15 +57,25 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------
     def _loop(self):
+        from collections import deque
+
         buckets: Dict[Tuple[int, int], List[Tuple[np.ndarray, Future]]] = {}
         deadline: Dict[Tuple[int, int], float] = {}
+        # Software pipeline: dispatch is async, so keep pipeline_depth
+        # batches in flight and only block on the oldest — a synchronous
+        # process_batch per micro-batch stalled the scheduler (and every
+        # decoder feeding it) through a full device round trip.
+        inflight: deque = deque()
+        depth = getattr(self.pipeline, "pipeline_depth", 2)
         while not self._stop.is_set():
             try:
                 shape, frame, fut = self._q.get(timeout=self.max_wait / 2)
                 buckets.setdefault(shape, []).append((frame, fut))
                 deadline.setdefault(shape, time.time() + self.max_wait)
             except queue.Empty:
-                pass
+                # idle tick: no new frames, drain in-flight results
+                while inflight:
+                    self._finish_batch(*inflight.popleft())
             now = time.time()
             for shape in list(buckets):
                 items = buckets[shape]
@@ -79,9 +89,17 @@ class InferenceEngine:
                     else:
                         del buckets[shape]
                         del deadline[shape]
-                    self._run_batch(batch)
+                    dispatched = self._dispatch_items(batch)
+                    if dispatched is not None:
+                        inflight.append(dispatched)
+            while len(inflight) > depth:
+                self._finish_batch(*inflight.popleft())
+        while inflight:
+            self._finish_batch(*inflight.popleft())
 
-    def _run_batch(self, items: List[Tuple[np.ndarray, Future]]):
+    def _dispatch_items(self, items: List[Tuple[np.ndarray, Future]]):
+        """Stack + enqueue one micro-batch on the device (non-blocking);
+        returns state for :meth:`_finish_batch`, or None on failure."""
         try:
             n = len(items)
             orig_size = items[0][0].shape[:2]
@@ -99,12 +117,23 @@ class InferenceEngine:
             frames = np.stack(raw)
             valid = np.zeros(self.batch_size, bool)
             valid[:n] = True
+            handles = self.pipeline.dispatch_batch(frames)
+            return items, frames, valid, orig_size, handles
+        except Exception as e:  # resolve futures even on failure
+            logger.exception("engine dispatch failed")
+            for _, fut in items:
+                if not fut.done():
+                    fut.set_exception(e)
+            return None
+
+    def _finish_batch(self, items, frames, valid, orig_size, handles):
+        try:
             per_frame = self.pipeline.process_batch(
-                frames, valid, orig_size=orig_size
+                frames, valid, handles=handles, orig_size=orig_size
             )
             for i, (_, fut) in enumerate(items):
                 fut.set_result(per_frame[i])
-        except Exception as e:  # resolve futures even on failure
+        except Exception as e:
             logger.exception("engine batch failed")
             for _, fut in items:
                 if not fut.done():
