@@ -51,3 +51,38 @@ def test_cc_backend_parity():
     )
     fg = xla.reshape(64, 64)[m]
     assert len(np.unique(fg)) == 2
+
+
+def test_segmented_cc_round_interpret_matches_cv2():
+    """The VMEM segmented-propagation kernel (interpret mode) converges
+    to cv2.connectedComponents labels when iterated with pointer jumps,
+    including a pure-diagonal staircase (needs the diag ladders)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from vtd_tpu.ops.pallas_kernels import segmented_cc_round
+
+    size = 48
+    maps = []
+    m = np.zeros((size, size), bool)
+    m[4:10, 4:30] = True
+    m[20:30, 10:40] = True
+    maps.append(m)
+    stairs = np.zeros((size, size), bool)
+    for i in range(0, size - 2, 2):
+        stairs[i:i + 2, i:i + 2] = True
+    maps.append(stairs)
+
+    for m in maps:
+        ref, _ = cv2.connectedComponents(
+            m.astype(np.uint8), connectivity=8
+        )
+        lbl = jnp.arange(size * size, dtype=jnp.int32).reshape(size, size)
+        for _ in range(6):
+            lbl = segmented_cc_round(
+                jnp.asarray(m), lbl, diag=True, interpret=True
+            )
+            flat = lbl.reshape(-1)
+            lbl = flat[flat].reshape(size, size)
+        ours = len(np.unique(np.asarray(lbl)[m]))
+        assert ours == ref - 1, (ours, ref - 1)
