@@ -57,3 +57,34 @@ def test_dbnet_binary_map():
     }
     b = model.binary(out)
     assert np.all(np.asarray(b) > 0.99)  # sigmoid(50 * 0.6)
+
+
+def test_s2d_stem_matches_strided_conv():
+    """The space-to-depth stem is numerically identical to the
+    canonical 7x7/stride-2 convolution it replaces (exact weight
+    transform; float32 to keep the comparison tight)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vtd_tpu.models.resnet import _S2DStem
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    stem = _S2DStem(features=8, dtype=jnp.float32)
+    params = stem.init(jax.random.PRNGKey(0), x)
+    out = stem.apply(params, x)
+    ref = jax.lax.conv_general_dilated(
+        x, params["params"]["kernel"],
+        window_strides=(2, 2), padding=((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    assert out.shape == ref.shape == (2, 32, 32, 8)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    # odd spatial size falls back to the strided conv
+    x_odd = jnp.asarray(
+        rng.standard_normal((1, 33, 33, 3)).astype(np.float32)
+    )
+    out_odd = stem.apply(params, x_odd)
+    assert out_odd.shape == (1, 17, 17, 8)

@@ -20,6 +20,7 @@ from functools import partial
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -65,6 +66,58 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual.astype(y.dtype))
 
 
+class _S2DStem(nn.Module):
+    """7x7/stride-2 stem conv computed as a 4x4/stride-1 conv on the
+    2x2 space-to-depth rearrangement of the input.
+
+    Numerically identical to ``nn.Conv(64, (7,7), strides=2,
+    padding=(3,3))`` (exact weight transform, parity-tested), but the
+    MXU sees 12 input channels instead of 3 and no strided window —
+    the classic TPU stem trick. The parameter keeps the canonical
+    (7,7,C,64) kernel at the same ``conv1/kernel`` checkpoint path, so
+    importers and existing checkpoints are untouched; the rearranged
+    kernel is derived inside the forward (constant-folded per step).
+    """
+
+    features: int = 64
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, c, self.features),
+        )
+        b, h, w, _ = x.shape
+        if h % 2 or w % 2:  # odd inputs: plain strided conv
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        xs = (
+            x.reshape(b, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h // 2, w // 2, 4 * c)
+        )
+        # out[i] reads input rows 2i-3..2i+3 = s2d cells i-2..i+1 with
+        # in-cell offset da: p = 2(ca-2)+da+3, i.e. Wp[2ca+da] for W
+        # left-padded by one (p = -1 never contributes).
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        kk = (
+            kp.reshape(4, 2, 4, 2, c, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * c, self.features)
+        )
+        return jax.lax.conv_general_dilated(
+            xs.astype(self.dtype), kk.astype(self.dtype),
+            window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ResNet50(nn.Module):
     """Returns (C2, C3, C4, C5) feature maps at strides 4/8/16/32."""
 
@@ -74,10 +127,7 @@ class ResNet50(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, name="conv1",
-        )(x)
+        x = _S2DStem(64, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name="bn1",
