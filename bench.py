@@ -175,9 +175,15 @@ def bench_config3() -> None:
         warm = os.path.join(td, "warm.mp4")
         make_clip(warm, seconds=2)
         asyncio.run(pipeline.process_video(warm, td))
-        t0 = time.time()
-        result = asyncio.run(pipeline.process_video(clip, td))
-        elapsed = time.time() - t0
+        # Median of 3 steady-state runs: the loop is host-decode-bound
+        # on this 1-core box and single runs swing ~±12% with CPU
+        # scheduling noise.
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            result = asyncio.run(pipeline.process_video(clip, td))
+            runs.append(time.time() - t0)
+        elapsed = sorted(runs)[1]
     assert result["status"] == "success", result.get("error")
     frames = result["summary"]["total_frames"]
     _emit(
@@ -186,6 +192,7 @@ def bench_config3() -> None:
         frames / elapsed / BASELINE_FPS,
         frames=frames, elapsed=f"{elapsed:.2f}s",
         detections=result["summary"]["total_detections"],
+        runs=" ".join(f"{frames/r:.1f}" for r in runs),
     )
 
 

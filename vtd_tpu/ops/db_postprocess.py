@@ -158,7 +158,7 @@ def connected_components_scan(
             lbl = jnp.where(fg, jnp.minimum(lbl, lf), lbl)
         return lbl
 
-    def one_round(lbl, diag=False):
+    def one_round(lbl, diag=False, jump=True):
         if use_pallas:
             # same recurrence, VMEM-resident (ops/pallas_kernels.py)
             lbl = segmented_cc_round(fg, lbl, diag=diag)
@@ -179,15 +179,22 @@ def connected_components_scan(
             )
             if diag:
                 lbl = xla_diag_ladder(lbl)
+        if not jump:
+            return lbl
         flat = lbl.reshape(-1)
         return flat[flat].reshape(h, w)  # pointer jump
 
     lbl = labels
     for i in range(min_rounds):  # unrolled fast path, no change checks
-        # diagonal ladders ride the middle round: by then H/V passes
+        # Diagonal ladders ride the middle round: by then H/V passes
         # have consolidated per-run fragments, and one diagonal ladder
-        # merges thin rotated strokes end-to-end
-        lbl = one_round(lbl, diag=(i == 1))
+        # merges thin rotated strokes end-to-end. The pointer jump is a
+        # [H*W] random gather — 6.5 ms/batch on TPU vs 0.3 ms for the
+        # whole propagation kernel — so the fast path jumps ONCE after
+        # the last round; ladders propagate label VALUES transitively,
+        # and grouping only needs per-component label consistency, not
+        # the canonical minimum.
+        lbl = one_round(lbl, diag=(i == 1), jump=(i == min_rounds - 1))
 
     if max_rounds > min_rounds:  # opt-in exact mode
         def cond(carry):
