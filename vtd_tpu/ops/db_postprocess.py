@@ -376,7 +376,11 @@ def db_postprocess(
         return {"roots": safe_roots, "areas": areas, "valid": valid}
 
     # ---- per-component boundary cells -> full-res pixel coordinates ----
-    m_cells = 512
+    # 256 cells = up to 1024 boundary pixels exact per component;
+    # larger boundaries subsample uniformly (a full-width 580px banner
+    # has ~330 boundary cells -> ~1.3:1 subsample, parity unaffected).
+    # 512 cells measured +2 ms/batch of gathers for no IoU gain.
+    m_cells = 256
     starts = jnp.searchsorted(
         ls_key, safe_roots * 2, side="left"
     ).astype(jnp.int32)
