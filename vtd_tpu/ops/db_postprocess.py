@@ -194,7 +194,7 @@ def connected_components_scan(
         # the last round; ladders propagate label VALUES transitively,
         # and grouping only needs per-component label consistency, not
         # the canonical minimum.
-        lbl = one_round(lbl, diag=(i == 1), jump=(i == min_rounds - 1))
+        lbl = one_round(lbl, diag=(i == 1), jump=False)
 
     if max_rounds > min_rounds:  # opt-in exact mode
         def cond(carry):
