@@ -91,6 +91,9 @@ if _HAVE_PYDANTIC_SETTINGS:
         compute_dtype: str = "bfloat16"
         mesh_data_axis: str = "data"
         mesh_model_axis: str = "model"
+        # Non-empty: worker pipelines wrap the hot loop in
+        # jax.profiler.trace writing to this directory (SURVEY §5).
+        profile_trace_dir: str = ""
 
         class Config:
             env_file = ".env"
@@ -139,6 +142,7 @@ else:  # pragma: no cover - plain-object fallback when pydantic is missing
                 compute_dtype="bfloat16",
                 mesh_data_axis="data",
                 mesh_model_axis="model",
+                profile_trace_dir="",
             )
             for k, v in defaults.items():
                 env = os.environ.get(k.upper())

@@ -73,6 +73,8 @@ def get_pipeline(use_transformer: bool = False):
         kwargs = dict(_pipeline_kwargs)
         kwargs.pop("transformer_path", None)
         kwargs["use_transformer_ocr"] = use_transformer
+        if settings.profile_trace_dir:
+            kwargs.setdefault("profile_dir", settings.profile_trace_dir)
         if use_transformer:
             kwargs["recognizer_path"] = trocr_ckpt
         _pipelines[use_transformer] = VideoTextPipeline(**kwargs)
