@@ -53,3 +53,31 @@ def test_two_stage_matches_fused(runner):
     np.testing.assert_allclose(
         out[0]["det_pack"][..., :4], ref_boxes, atol=1.0
     )
+
+
+def test_detect_batch_packed_matches_arrays(runner):
+    """detect_batch (single packed f16 fetch) agrees with the
+    detect_batch_arrays dict path it was derived from."""
+    import cv2
+
+    from vtd_tpu.ops.db_postprocess import extract_detections
+
+    _, det, _ = runner
+    frames = np.full((2, 160, 160, 3), 255, np.uint8)
+    for i in range(2):
+        cv2.putText(
+            frames[i], "AB", (30, 90), cv2.FONT_HERSHEY_SIMPLEX, 2,
+            (0, 0, 0), 4,
+        )
+    packed = det.detect_batch(frames, 0.5)
+    post = {k: np.asarray(v) for k, v in
+            det.detect_batch_arrays(frames, 0.5).items()}
+    for i in range(2):
+        ref = extract_detections(
+            {k: v[i] for k, v in post.items()}, 160, 160, det.input_size
+        )
+        assert len(packed[i]) == len(ref) >= 1
+        for a, b in zip(packed[i], ref):
+            # f16 carries pixel coords exactly up to 2048; scores round
+            np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1)
+            assert abs(a["confidence"] - b["confidence"]) < 1e-2

@@ -135,9 +135,11 @@ class TextDetector:
         Thresholding semantics: the reference binarizes the probability
         map at ``confidence_threshold`` (text_detector.py:144).
         """
-        return self._detect_jit(
-            self.variables, jnp.asarray(frames), jnp.float32(confidence_threshold)
-        )
+        thr = self._thr_cache.get(confidence_threshold)
+        if thr is None:
+            thr = jax.device_put(jnp.float32(confidence_threshold))
+            self._thr_cache[confidence_threshold] = thr
+        return self._detect_jit(self.variables, jnp.asarray(frames), thr)
 
     def detect_batch(
         self, frames: np.ndarray, confidence_threshold: float = 0.5
