@@ -25,6 +25,13 @@ def _cmd_process(argv):
     parser.add_argument("--fps", type=float, default=10.0)
     parser.add_argument("--detector", default="", help="detector checkpoint")
     parser.add_argument("--recognizer", default="", help="recognizer checkpoint")
+    parser.add_argument("--input-size", type=int, default=640,
+                        help="detector input resolution")
+    parser.add_argument("--sample-mode", default="stride",
+                        choices=["stride", "keyframe"],
+                        help="keyframe: only scene-change frames hit the device")
+    parser.add_argument("--temporal-dedup", action="store_true",
+                        help="cross-frame text tracks in the summary")
     parser.add_argument("--out", default="", help="write JSON result here")
     parser.add_argument("--format", default="json",
                         choices=["json", "csv", "xml"])
@@ -39,6 +46,9 @@ def _cmd_process(argv):
         confidence_threshold=args.threshold,
         batch_size=args.batch_size,
         target_fps=args.fps,
+        detector_input_size=args.input_size,
+        sample_mode=args.sample_mode,
+        temporal_dedup=args.temporal_dedup,
     )
     result = asyncio.run(pipeline.process_video(args.video, "."))
 
