@@ -1,0 +1,257 @@
+// Native video decode backend: demux -> decode -> swscale, C API for ctypes.
+//
+// Replaces the cv2.VideoCapture hot path of vtd_tpu/video/processor.py for
+// the pipeline's batched frame feed (reference behavior contract:
+// app/ml/utils/preprocessing.py:43-72 — stride sampling at a target fps).
+//
+// Why native: the per-frame host cost of the cv2 path is
+//   decode(yuv420) -> yuv->BGR full-res convert -> Python resize ->
+//   BGR->yuv420 convert
+// i.e. two full colorspace conversions and a 3-byte/px resize per sampled
+// frame, all on the host CPU that also feeds the TPU. This decoder stays in
+// the codec's native yuv420p end-to-end: sampled frames are swscaled
+// (planar, 1.5 B/px) straight to the detector input size; skipped frames
+// never leave the decoder. Decode itself uses FFmpeg's threaded slice/frame
+// decoder (thread_count=0 == auto).
+//
+// Output pixel formats: I420 planar (packed [H*3/2, W], matching
+// cv2.COLOR_BGR2YUV_I420 layout expected by ops/preprocess.yuv420_to_bgr)
+// or BGR24 interleaved.
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct Decoder {
+  AVFormatContext *fmt = nullptr;
+  AVCodecContext *codec = nullptr;
+  SwsContext *sws = nullptr;
+  AVPacket *pkt = nullptr;
+  AVFrame *frame = nullptr;
+  int stream_index = -1;
+  int64_t next_src = 0;  // source index of the next frame decode will emit
+  int sws_w = 0, sws_h = 0, sws_fmt = -1;
+  int src_w = 0, src_h = 0;
+  AVPixelFormat src_pix = AV_PIX_FMT_NONE;
+  bool draining = false;
+  bool eof = false;
+};
+
+void free_decoder(Decoder *d) {
+  if (!d) return;
+  if (d->sws) sws_freeContext(d->sws);
+  if (d->frame) av_frame_free(&d->frame);
+  if (d->pkt) av_packet_free(&d->pkt);
+  if (d->codec) avcodec_free_context(&d->codec);
+  if (d->fmt) avformat_close_input(&d->fmt);
+  delete d;
+}
+
+// Pull the next decoded frame into d->frame. Returns 1 on frame, 0 on EOF,
+// <0 on error.
+int next_frame(Decoder *d) {
+  while (true) {
+    int ret = avcodec_receive_frame(d->codec, d->frame);
+    if (ret == 0) return 1;
+    if (ret == AVERROR_EOF) {
+      d->eof = true;
+      return 0;
+    }
+    if (ret != AVERROR(EAGAIN)) return ret;
+    if (d->draining) {
+      // EAGAIN after sending the flush packet should not happen; treat
+      // as EOF defensively.
+      d->eof = true;
+      return 0;
+    }
+    // Need more input.
+    while (true) {
+      ret = av_read_frame(d->fmt, d->pkt);
+      if (ret == AVERROR_EOF) {
+        d->draining = true;
+        avcodec_send_packet(d->codec, nullptr);
+        break;
+      }
+      if (ret < 0) return ret;
+      if (d->pkt->stream_index == d->stream_index) {
+        ret = avcodec_send_packet(d->codec, d->pkt);
+        av_packet_unref(d->pkt);
+        if (ret < 0 && ret != AVERROR(EAGAIN)) return ret;
+        break;
+      }
+      av_packet_unref(d->pkt);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void *vtd_vd_open(const char *path) {
+  Decoder *d = new Decoder();
+  if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
+    free_decoder(d);
+    return nullptr;
+  }
+  if (avformat_find_stream_info(d->fmt, nullptr) < 0) {
+    free_decoder(d);
+    return nullptr;
+  }
+  const AVCodec *dec = nullptr;
+  d->stream_index =
+      av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &dec, 0);
+  if (d->stream_index < 0 || !dec) {
+    free_decoder(d);
+    return nullptr;
+  }
+  AVStream *st = d->fmt->streams[d->stream_index];
+  d->codec = avcodec_alloc_context3(dec);
+  if (!d->codec ||
+      avcodec_parameters_to_context(d->codec, st->codecpar) < 0) {
+    free_decoder(d);
+    return nullptr;
+  }
+  d->codec->thread_count = 0;  // auto: frame/slice threading on multicore
+  if (avcodec_open2(d->codec, dec, nullptr) < 0) {
+    free_decoder(d);
+    return nullptr;
+  }
+  d->pkt = av_packet_alloc();
+  d->frame = av_frame_alloc();
+  d->src_w = d->codec->width;
+  d->src_h = d->codec->height;
+  return d;
+}
+
+// fps (rational -> double), frame count (0 when unknown), dims.
+int vtd_vd_info(void *h, double *fps, int64_t *frame_count, int *width,
+                int *height) {
+  Decoder *d = (Decoder *)h;
+  AVStream *st = d->fmt->streams[d->stream_index];
+  AVRational r = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+  *fps = r.den ? (double)r.num / r.den : 0.0;
+  int64_t n = st->nb_frames;
+  if (n <= 0 && *fps > 0 && d->fmt->duration > 0)
+    n = (int64_t)(d->fmt->duration * (*fps) / AV_TIME_BASE + 0.5);
+  *frame_count = n > 0 ? n : 0;
+  *width = d->src_w;
+  *height = d->src_h;
+  return 0;
+}
+
+// Seek so the next emitted frame is source index `target`. Uses a
+// keyframe seek then decode-skips forward; exact (frame-accurate) by
+// construction because we count emitted frames from the keyframe.
+int vtd_vd_seek(void *h, int64_t target) {
+  Decoder *d = (Decoder *)h;
+  AVStream *st = d->fmt->streams[d->stream_index];
+  AVRational r = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+  if (!r.num || !r.den) return -1;
+  int64_t ts = av_rescale_q(target, av_inv_q(r), st->time_base);
+  if (av_seek_frame(d->fmt, d->stream_index, ts, AVSEEK_FLAG_BACKWARD) < 0)
+    return -1;
+  avcodec_flush_buffers(d->codec);
+  d->draining = false;
+  d->eof = false;
+  // Decode forward until we reach `target`, deriving the index of the
+  // first post-seek frame from its pts.
+  while (true) {
+    int ret = next_frame(d);
+    if (ret <= 0) return ret < 0 ? ret : -1;
+    int64_t pts = d->frame->best_effort_timestamp;
+    int64_t idx = pts == AV_NOPTS_VALUE
+                      ? target  // no pts: assume we landed exactly
+                      : av_rescale_q(pts, st->time_base, av_inv_q(r));
+    if (idx >= target) {
+      d->next_src = idx;
+      // This frame is still buffered in d->frame; mark it pending by
+      // remembering we already decoded it. Simplest: scale path below
+      // re-reads, so push it back is not possible — instead we stash
+      // its index and let read_batch know the frame is hot.
+      d->draining = d->draining;  // no-op; clarity
+      return 1;  // d->frame holds frame `idx`, d->next_src == idx
+    }
+    d->next_src = idx + 1;
+  }
+}
+
+// Decode forward, writing every `stride`-th source frame (those with
+// src_index % stride == 0), scaled to out_w x out_h, into `out`.
+// fmt: 0 = I420 packed [h*3/2, w] per frame, 1 = BGR24 [h, w, 3].
+// `hot` nonzero means d->frame already holds an undelivered frame (set
+// by vtd_vd_seek). Writes at most max_frames frames; returns the number
+// written (0 => EOF), filling src_indices[i] with each frame's source
+// index. Stops early at src_end (exclusive) when src_end >= 0.
+int vtd_vd_read_batch(void *h, int stride, int max_frames, int64_t src_end,
+                      int hot, uint8_t *out, int64_t *src_indices, int out_w,
+                      int out_h, int fmt) {
+  Decoder *d = (Decoder *)h;
+  if (stride < 1) stride = 1;
+  const AVPixelFormat want =
+      fmt == 1 ? AV_PIX_FMT_BGR24 : AV_PIX_FMT_YUV420P;
+  const size_t frame_bytes =
+      fmt == 1 ? (size_t)out_w * out_h * 3 : (size_t)out_w * out_h * 3 / 2;
+  int written = 0;
+  bool use_hot = hot != 0;
+  while (written < max_frames) {
+    int64_t idx;
+    if (use_hot) {
+      use_hot = false;
+      idx = d->next_src;
+    } else {
+      int ret = next_frame(d);
+      if (ret == 0) break;
+      if (ret < 0) return ret;
+      idx = d->next_src;
+    }
+    d->next_src = idx + 1;
+    if (src_end >= 0 && idx >= src_end) break;
+    if (idx % stride != 0) continue;
+
+    if (!d->sws || d->sws_w != out_w || d->sws_h != out_h ||
+        d->sws_fmt != (int)want || d->src_pix != (AVPixelFormat)d->frame->format) {
+      if (d->sws) sws_freeContext(d->sws);
+      d->src_pix = (AVPixelFormat)d->frame->format;
+      d->sws = sws_getContext(d->frame->width, d->frame->height, d->src_pix,
+                              out_w, out_h, want, SWS_BILINEAR, nullptr,
+                              nullptr, nullptr);
+      if (!d->sws) return -2;
+      d->sws_w = out_w;
+      d->sws_h = out_h;
+      d->sws_fmt = (int)want;
+    }
+    uint8_t *dst = out + (size_t)written * frame_bytes;
+    uint8_t *planes[4] = {nullptr, nullptr, nullptr, nullptr};
+    int strides[4] = {0, 0, 0, 0};
+    if (fmt == 1) {
+      planes[0] = dst;
+      strides[0] = out_w * 3;
+    } else {
+      planes[0] = dst;                                  // Y
+      planes[1] = dst + (size_t)out_w * out_h;          // U
+      planes[2] = dst + (size_t)out_w * out_h * 5 / 4;  // V
+      strides[0] = out_w;
+      strides[1] = out_w / 2;
+      strides[2] = out_w / 2;
+    }
+    sws_scale(d->sws, d->frame->data, d->frame->linesize, 0,
+              d->frame->height, planes, strides);
+    src_indices[written] = idx;
+    ++written;
+  }
+  return written;
+}
+
+void vtd_vd_close(void *h) { free_decoder((Decoder *)h); }
+
+}  // extern "C"

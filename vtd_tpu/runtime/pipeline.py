@@ -83,6 +83,8 @@ class VideoTextPipeline:
         sample_mode: str = "stride",
         decode_workers: int = 1,
         pipeline_depth: int = 3,
+        decode_backend: str = "auto",
+        preserve_aspect: bool = True,
     ):
         self.detector = TextDetector(
             detector_path, input_size=detector_input_size, max_dets=max_dets
@@ -106,6 +108,14 @@ class VideoTextPipeline:
         # 'yuv420' ships I420-packed frames (half the bytes of BGR) and
         # converts on device (ops/preprocess.yuv420_to_bgr).
         self.transfer_format = transfer_format
+        # Aspect-preserving transfer: ship (w*s, h*s) with
+        # s = min(1, host_downscale/max(w, h)) instead of a square — for
+        # 16:9 sources this cuts host->device bytes a further 1.78x; the
+        # device performs the final squash to the square detector input
+        # (reference semantics: squash-resize to 640x640,
+        # text_detector.py:99-104), so detector-input content is the
+        # same modulo one extra bilinear resample.
+        self.preserve_aspect = preserve_aspect
         # Batches kept in flight between dispatch and collection; >1 lets
         # the dispatch-time async result copies land before collect.
         self.pipeline_depth = max(1, int(pipeline_depth))
@@ -121,6 +131,9 @@ class VideoTextPipeline:
         # >1 decodes contiguous video segments concurrently — decode is
         # the 1080p bottleneck and cv2 is single-threaded per capture.
         self.decode_workers = decode_workers
+        # 'native' = libav C++ decode tier (scale+convert fused into
+        # swscale); 'auto' prefers it and falls back to cv2.
+        self.decode_backend = decode_backend
         self.use_transformer = use_transformer_ocr
         if use_transformer_ocr:
             s = self.recognizer.transformer.cfg.image_size
@@ -243,6 +256,28 @@ class VideoTextPipeline:
             return ids_to_text(arrs["ids"], arrs["emit"]), arrs["confidence"]
 
         return run
+
+    # ------------------------------------------------------------------
+    def ship_dims(self, video_info: Dict[str, Any]):
+        """Transfer dims for one video: ``host_downscale`` square by
+        default; with ``preserve_aspect``, the source aspect at
+        max-dim = ``host_downscale`` and never upscaled (multiples of 8
+        for the I420 plane layout and clean XLA tiling). Returns the
+        ``resize_to`` argument for ``extract_frame_batches`` (None =
+        ship source resolution)."""
+        ds = self.host_downscale
+        if not ds:
+            return None
+        if not self.preserve_aspect:
+            return ds
+        w0 = int(video_info.get("width", 0) or 0)
+        h0 = int(video_info.get("height", 0) or 0)
+        if w0 <= 0 or h0 <= 0:
+            return ds
+        s = min(1.0, ds / max(w0, h0))
+        ship_w = max(8, int(round(w0 * s / 8)) * 8)
+        ship_h = max(8, int(round(h0 * s / 8)) * 8)
+        return (ship_w, ship_h)
 
     # ------------------------------------------------------------------
     def _dispatch_batch(
@@ -525,18 +560,24 @@ class VideoTextPipeline:
             # so host decode, host assembly, TPU compute, AND the
             # device->host result copies (started at dispatch) all
             # overlap; by collection time a batch's byte pack has
-            # usually already landed on the host.
-            from collections import deque
+            # usually already landed on the host. Upload + dispatch run
+            # in their own thread: the 5 MB host->device copy and the
+            # dispatch RPCs release the GIL while they wait, so they
+            # overlap decode and assembly instead of serializing with
+            # them on the collect thread.
+            import asyncio as _asyncio
+            import queue as _queue
+            import threading as _threading
 
-            pending: deque = deque()  # of (batch, handles)
             batches = self.video_processor.extract_frame_batches(
                 video_path,
                 batch_size=self.batch_size,
                 target_fps=self.target_fps,
-                resize_to=self.host_downscale,
+                resize_to=self.ship_dims(video_info),
                 pixel_format=self.transfer_format,
                 sample_mode=mode,
                 decode_workers=self.decode_workers,
+                decode_backend=self.decode_backend,
             )
             # frame_number -> detections of keyframes, for propagation to
             # the near-duplicate candidates each keyframe covers.
@@ -604,26 +645,60 @@ class VideoTextPipeline:
                         progress, frame_count, total_expected
                     )
 
+            dispatch_q: _queue.Queue = _queue.Queue(
+                maxsize=self.pipeline_depth
+            )
+            stop_evt = _threading.Event()
+
+            def dispatcher():
+                try:
+                    for batch in batches:
+                        already_done = batch.get("frames") is None or all(
+                            int(fn) in done_frames
+                            for fn, v in zip(
+                                batch["frame_numbers"], batch["valid"]
+                            )
+                            if v
+                        )
+                        handles = (
+                            None if already_done
+                            else self._dispatch_batch(
+                                batch["frames"], confidence_threshold=thr
+                            )
+                        )
+                        while not stop_evt.is_set():
+                            try:
+                                dispatch_q.put((batch, handles), timeout=0.1)
+                                break
+                            except _queue.Full:
+                                continue
+                        if stop_evt.is_set():
+                            return
+                    dispatch_q.put(None)
+                except BaseException as e:  # surfaced on the collect side
+                    dispatch_q.put(e)
+
             with profile_ctx:
-                for batch in batches:
-                    already_done = batch.get("frames") is None or all(
-                        int(fn) in done_frames
-                        for fn, v in zip(
-                            batch["frame_numbers"], batch["valid"]
+                disp_t = _threading.Thread(target=dispatcher, daemon=True)
+                disp_t.start()
+                loop = _asyncio.get_event_loop()
+                try:
+                    while True:
+                        item = await loop.run_in_executor(
+                            None, dispatch_q.get
                         )
-                        if v
-                    )
-                    handles = (
-                        None if already_done
-                        else self._dispatch_batch(
-                            batch["frames"], confidence_threshold=thr
-                        )
-                    )
-                    pending.append((batch, handles))
-                    if len(pending) > self.pipeline_depth:
-                        await collect(*pending.popleft())
-                while pending:
-                    await collect(*pending.popleft())
+                        if item is None:
+                            break
+                        if isinstance(item, BaseException):
+                            raise item
+                        await collect(*item)
+                finally:
+                    stop_evt.set()
+                    while not dispatch_q.empty():
+                        try:
+                            dispatch_q.get_nowait()
+                        except _queue.Empty:
+                            break
             if ckpt_fh is not None:
                 ckpt_fh.close()
 

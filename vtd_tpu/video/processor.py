@@ -179,6 +179,46 @@ class VideoProcessor:
             luma, (64, 36), interpolation=cv2.INTER_AREA
         ).astype(np.int16)
 
+    def _native_candidates(
+        self,
+        video_path: str,
+        target_fps: float,
+        out_size: Tuple[int, int],
+        pixel_format: str,
+        src_range: Optional[Tuple[int, int]] = None,
+        chunk: int = 8,
+    ) -> Generator[Tuple[np.ndarray, int, float], None, None]:
+        """Candidate stream from the native libav decoder
+        (native/video_decode.cpp): frames arrive already scaled to
+        ``out_size`` and in ``pixel_format`` — the decode->scale->convert
+        chain runs inside swscale on the codec's own yuv420p planes, so
+        the two full-res colorspace conversions of the cv2 path never
+        happen. Same (frame, candidate_index, timestamp) contract as
+        ``_segment_candidates``.
+        """
+        from ..native import video as native_video
+
+        reader = native_video.open_video(video_path, out_size, pixel_format)
+        if reader is None:
+            raise RuntimeError("native video decoder unavailable")
+        try:
+            fps = reader.fps
+            interval = max(1, int(fps / target_fps)) if fps > 0 else 1
+            start, end = src_range if src_range else (0, None)
+            if start:
+                reader.seek(start)
+            src_end = -1 if end is None else int(end)
+            while True:
+                frames, idx = reader.read_batch(interval, chunk, src_end)
+                if len(frames) == 0:
+                    return
+                for k in range(len(frames)):
+                    src = int(idx[k])
+                    ts = src / fps if fps > 0 else 0.0
+                    yield frames[k], src // interval, ts
+        finally:
+            reader.close()
+
     def extract_frame_batches(
         self,
         video_path: str,
@@ -191,8 +231,14 @@ class VideoProcessor:
         keyframe_diff: float = 4.0,
         keyframe_max_gap: Optional[int] = None,
         decode_workers: int = 1,
+        decode_backend: str = "auto",
     ) -> Generator[Dict[str, Any], None, None]:
         """Yield dicts of stacked frames for one device transfer each.
+
+        ``decode_backend``: 'native' decodes via the libav C++ tier
+        (native/video_decode.cpp — scale + pixel conversion fused into
+        swscale on the decoder's own yuv planes), 'cv2' via
+        VideoCapture, 'auto' (default) prefers native and falls back.
 
         Every batch has exactly ``batch_size`` frames (the tail is padded
         by repeating the last frame, with ``valid`` marking real slots)
@@ -236,6 +282,55 @@ class VideoProcessor:
         q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
         stop = threading.Event()
         max_gap = keyframe_max_gap or max(1, int(2 * target_fps))
+
+        # Backend selection. The native path needs a successful probe
+        # (container/codec supported) before committing; anything else
+        # falls back to the cv2 decode stack below.
+        native_info: Optional[Dict[str, Any]] = None
+        if decode_backend in ("auto", "native"):
+            try:
+                from ..native import video as native_video
+
+                probe = native_video.open_video(
+                    video_path,
+                    (16, 16),  # probe only; real readers size themselves
+                    "yuv420",
+                )
+                if probe is not None:
+                    native_info = {
+                        "src_h": probe.src_h,
+                        "src_w": probe.src_w,
+                        "fps": probe.fps,
+                        "frame_count": probe.frame_count,
+                    }
+                    probe.close()
+                elif decode_backend == "native":
+                    raise ValueError(
+                        f"native decode unavailable for {video_path}"
+                    )
+            except ValueError:
+                raise
+            except Exception as e:  # missing toolchain/libs -> cv2
+                if decode_backend == "native":
+                    raise
+                logger.debug("native decode probe failed: %s", e)
+        # resize_to: int -> square (reference squash semantics), or an
+        # explicit (w, h) — e.g. aspect-preserved transfer dims, where
+        # the device performs the final squash to the detector input.
+        resize_wh: Optional[Tuple[int, int]] = (
+            None if resize_to is None
+            else (resize_to, resize_to) if isinstance(resize_to, int)
+            else (int(resize_to[0]), int(resize_to[1]))
+        )
+        use_native = native_info is not None
+        if use_native:
+            out_size = (
+                resize_wh
+                if resize_wh is not None
+                else (native_info["src_w"], native_info["src_h"])
+            )
+            native_orig = (native_info["src_h"], native_info["src_w"])
+            y_rows = out_size[1]  # Y-plane rows in an I420-packed frame
 
         class _Stopped(Exception):
             pass
@@ -291,13 +386,31 @@ class VideoProcessor:
             last_sig: Optional[np.ndarray] = None
             last_kf = -1
             since_kf = 0
-            for frame, idx, ts in self._segment_candidates(
-                video_path, target_fps, src_range
-            ):
+            if use_native:
+                candidates = self._native_candidates(
+                    video_path, target_fps, out_size, pixel_format,
+                    src_range, chunk=batch_size,
+                )
+            else:
+                candidates = self._segment_candidates(
+                    video_path, target_fps, src_range
+                )
+            for frame, idx, ts in candidates:
                 if stop.is_set():
                     return
                 if sample_mode == "keyframe":
-                    sig = self._keyframe_signature(frame)
+                    if use_native:
+                        # Native frames arrive already scaled/converted;
+                        # the Y plane (I420) or a gray convert (BGR) of
+                        # the scaled frame drives scene-change detection.
+                        luma = (
+                            frame[:y_rows]
+                            if pixel_format == "yuv420"
+                            else frame
+                        )
+                        sig = self._keyframe_signature(luma)
+                    else:
+                        sig = self._keyframe_signature(frame)
                     if last_sig is not None and since_kf < max_gap:
                         diff = float(
                             np.abs(sig - last_sig).mean()
@@ -308,16 +421,19 @@ class VideoProcessor:
                             continue
                     last_sig, last_kf, since_kf = sig, idx, 0
                 if not orig_size:
-                    orig_size.append(frame.shape[:2])
-                if resize_to is not None and frame.shape[:2] != (
-                    resize_to, resize_to,
-                ):
-                    frame = cv2.resize(
-                        frame, (resize_to, resize_to),
-                        interpolation=cv2.INTER_LINEAR,
+                    orig_size.append(
+                        native_orig if use_native else frame.shape[:2]
                     )
-                if pixel_format == "yuv420":
-                    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2YUV_I420)
+                if not use_native:
+                    if resize_wh is not None and frame.shape[:2] != (
+                        resize_wh[1], resize_wh[0],
+                    ):
+                        frame = cv2.resize(
+                            frame, resize_wh,
+                            interpolation=cv2.INTER_LINEAR,
+                        )
+                    if pixel_format == "yuv420":
+                        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2YUV_I420)
                 buf_frames.append(frame)
                 buf_nums.append(idx)
                 buf_ts.append(ts)
