@@ -283,7 +283,9 @@ def bench_config4() -> None:
         base = (90 + 50 * np.sin(xx / 300.0) + 40 * np.cos(yy / 200.0)).astype(
             np.uint8
         )
-        for i in range(8 * 30):
+        # 24 s: long enough to amortize pipeline fill/drain and probe
+        # overheads (same reasoning as config 3).
+        for i in range(24 * 30):
             frame = np.stack([base, base + 15, base + 30], axis=-1).astype(
                 np.uint8
             )
@@ -301,9 +303,14 @@ def bench_config4() -> None:
         warm = os.path.join(td, "warm.mp4")
         make_clip(warm, seconds=2)
         asyncio.run(pipeline.process_video(warm, td))
-        t0 = time.time()
-        result = asyncio.run(pipeline.process_video(clip, td))
-        elapsed = time.time() - t0
+        # Median of 3: the first pass pays OS page-cache misses on the
+        # ~100 MB 1080p file; steady state is what a serving worker sees.
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            result = asyncio.run(pipeline.process_video(clip, td))
+            runs.append(time.time() - t0)
+        elapsed = sorted(runs)[1]
         tracks = temporal_dedup(result["results"])
     frames = result["summary"]["total_frames"]
     keyframes = sum(

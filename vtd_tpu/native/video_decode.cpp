@@ -223,7 +223,7 @@ int vtd_vd_read_batch(void *h, int stride, int max_frames, int64_t src_end,
       if (d->sws) sws_freeContext(d->sws);
       d->src_pix = (AVPixelFormat)d->frame->format;
       d->sws = sws_getContext(d->frame->width, d->frame->height, d->src_pix,
-                              out_w, out_h, want, SWS_BILINEAR, nullptr,
+                              out_w, out_h, want, SWS_FAST_BILINEAR, nullptr,
                               nullptr, nullptr);
       if (!d->sws) return -2;
       d->sws_w = out_w;

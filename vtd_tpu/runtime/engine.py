@@ -36,7 +36,8 @@ class InferenceEngine:
         self.pipeline = pipeline or VideoTextPipeline(**pipeline_kwargs)
         self.batch_size = self.pipeline.batch_size
         self.max_wait = max_wait_ms / 1000.0
-        self._q: "queue.Queue[Tuple[Tuple[int, int], np.ndarray, Future]]" = (
+        # key = (frame.shape, orig_size) -> bucketed micro-batches
+        self._q: "queue.Queue[Tuple[Tuple, np.ndarray, Future]]" = (
             queue.Queue()
         )
         self._stop = threading.Event()
@@ -44,11 +45,21 @@ class InferenceEngine:
         self._thread.start()
 
     # ------------------------------------------------------------------
-    def submit_frame(self, frame: np.ndarray) -> Future:
-        """Enqueue one BGR frame; resolves to the frame's detection list
-        (pipeline wire format)."""
+    def submit_frame(
+        self, frame: np.ndarray, orig_size: Optional[Tuple[int, int]] = None
+    ) -> Future:
+        """Enqueue one frame; resolves to the frame's detection list
+        (pipeline wire format).
+
+        ``frame`` is either a raw BGR frame (host-downscaled here before
+        dispatch, legacy path) or, when ``orig_size`` is given, a frame
+        already in the pipeline's transfer format (ship dims + pixel
+        format — what ``extract_frame_batches`` emits); detections scale
+        back to ``orig_size``. Frames are bucketed by (shape, orig_size)
+        so streams of different resolutions never share a batch with
+        mismatched coordinate scaling."""
         fut: Future = Future()
-        self._q.put((frame.shape[:2], frame, fut))
+        self._q.put(((frame.shape, orig_size), frame, fut))
         return fut
 
     def close(self):
@@ -59,8 +70,8 @@ class InferenceEngine:
     def _loop(self):
         from collections import deque
 
-        buckets: Dict[Tuple[int, int], List[Tuple[np.ndarray, Future]]] = {}
-        deadline: Dict[Tuple[int, int], float] = {}
+        buckets: Dict[Tuple, List[Tuple[np.ndarray, Future]]] = {}
+        deadline: Dict[Tuple, float] = {}
         # Software pipeline: dispatch is async, so keep pipeline_depth
         # batches in flight and only block on the oldest — a synchronous
         # process_batch per micro-batch stalled the scheduler (and every
@@ -77,19 +88,19 @@ class InferenceEngine:
                 while inflight:
                     self._finish_batch(*inflight.popleft())
             now = time.time()
-            for shape in list(buckets):
-                items = buckets[shape]
+            for key in list(buckets):
+                items = buckets[key]
                 if len(items) >= self.batch_size or (
-                    items and now >= deadline[shape]
+                    items and now >= deadline[key]
                 ):
                     batch = items[: self.batch_size]
-                    buckets[shape] = items[self.batch_size:]
-                    if buckets[shape]:
-                        deadline[shape] = now + self.max_wait
+                    buckets[key] = items[self.batch_size:]
+                    if buckets[key]:
+                        deadline[key] = now + self.max_wait
                     else:
-                        del buckets[shape]
-                        del deadline[shape]
-                    dispatched = self._dispatch_items(batch)
+                        del buckets[key]
+                        del deadline[key]
+                    dispatched = self._dispatch_items(batch, key)
                     if dispatched is not None:
                         inflight.append(dispatched)
             while len(inflight) > depth:
@@ -97,23 +108,27 @@ class InferenceEngine:
         while inflight:
             self._finish_batch(*inflight.popleft())
 
-    def _dispatch_items(self, items: List[Tuple[np.ndarray, Future]]):
+    def _dispatch_items(self, items: List[Tuple[np.ndarray, Future]], key):
         """Stack + enqueue one micro-batch on the device (non-blocking);
         returns state for :meth:`_finish_batch`, or None on failure."""
         try:
             n = len(items)
-            orig_size = items[0][0].shape[:2]
+            _, orig_size = key
             raw = [f for f, _ in items] + [items[-1][0]] * (
                 self.batch_size - n
             )
-            ds = self.pipeline.host_downscale
-            if ds and orig_size != (ds, ds):
-                import cv2
+            if orig_size is None:  # legacy raw-BGR submissions
+                orig_size = items[0][0].shape[:2]
+                ds = self.pipeline.host_downscale
+                if ds and orig_size != (ds, ds):
+                    import cv2
 
-                raw = [
-                    cv2.resize(f, (ds, ds), interpolation=cv2.INTER_LINEAR)
-                    for f in raw
-                ]
+                    raw = [
+                        cv2.resize(
+                            f, (ds, ds), interpolation=cv2.INTER_LINEAR
+                        )
+                        for f in raw
+                    ]
             frames = np.stack(raw)
             valid = np.zeros(self.batch_size, bool)
             valid[:n] = True
@@ -156,9 +171,33 @@ class InferenceEngine:
         def worker(path: str):
             t0 = time.time()
             vp = self.pipeline.video_processor
+            info = vp.get_video_info(path)
             pending: List[Tuple[int, float, Future]] = []
-            for frame, idx, ts in vp.extract_frames_at_fps(path, target_fps):
-                pending.append((idx, ts, self.submit_frame(frame)))
+            # Decode in the pipeline's transfer format (downscaled,
+            # yuv420 by default) so each stream ships the same compact
+            # frames as the single-video path — the full-res BGR legacy
+            # path moved ~3.4x the bytes per frame through the batch
+            # queue and paid a host resize per frame.
+            for batch in vp.extract_frame_batches(
+                path,
+                batch_size=1,
+                target_fps=target_fps,
+                resize_to=self.pipeline.ship_dims(info),
+                pixel_format=self.pipeline.transfer_format,
+                decode_backend=self.pipeline.decode_backend,
+            ):
+                if batch.get("frames") is None:
+                    continue
+                pending.append(
+                    (
+                        int(batch["frame_numbers"][0]),
+                        float(batch["timestamps"][0]),
+                        self.submit_frame(
+                            batch["frames"][0],
+                            orig_size=batch["orig_size"],
+                        ),
+                    )
+                )
             frames_out = []
             for idx, ts, fut in pending:
                 dets = fut.result(timeout=600)
@@ -171,7 +210,7 @@ class InferenceEngine:
                     "status": "success",
                     "results": frames_out,
                     "summary": summarize(frames_out, elapsed, len(frames_out)),
-                    "video_info": vp.get_video_info(path),
+                    "video_info": info,
                 }
 
         threads = [
