@@ -1,15 +1,19 @@
-"""Database engine/session layer (sqlite3, stdlib).
+"""Database engine/session layer (sqlite3 default, Postgres by DSN).
 
 Replaces the reference's SQLAlchemy engine + session factory
-(reference ``app/database/database.py``). SQLAlchemy/Postgres aren't in
-this image; a thread-safe sqlite3 wrapper provides the same surface:
+(reference ``app/database/database.py``). SQLAlchemy isn't in this
+image; a thread-safe sqlite3 wrapper provides the same surface:
 ``get_db`` dependency, ``init_db``, ``check_db_connection``, and a
 ``db_manager.health_check`` returning the same status dict shape.
 
-DSN: ``sqlite:///path.db`` or ``sqlite:///:memory:`` (shared in-memory
-database per Database instance, so all server threads see one store —
-the analog of the reference's StaticPool sqlite test setup,
-``database.py:10-17``).
+DSN selects the backend, mirroring the reference's prod/test split
+(sqlite for tests, Postgres in prod, ``database.py:10-17``):
+``sqlite:///path.db`` / ``sqlite:///:memory:`` (shared in-memory
+database per Database instance, so all server threads see one store);
+``postgresql://user:pw@host/db`` routes to :class:`PostgresDatabase`,
+import-gated on ``psycopg2`` exactly like StorageService gates S3 on
+boto3 — absent driver raises a clear error instead of silently
+degrading.
 """
 from __future__ import annotations
 
@@ -120,9 +124,7 @@ class Database:
         elif url.startswith("sqlite://"):
             path = url[len("sqlite://"):] or ":memory:"
         else:
-            # non-sqlite DSNs are not supported in this image; keep the
-            # URL for error messages but store locally.
-            logger.warning("Unsupported DSN %s; using ./vtd.db", url)
+            logger.warning("Unsupported sqlite DSN %s; using ./vtd.db", url)
             path = "./vtd.db"
         if path in (":memory:", ""):
             # One in-memory DB shared across this instance's threads but
@@ -190,6 +192,13 @@ class Database:
 
         migrate(self)
 
+    def get_schema_version(self) -> int:
+        row = self.query_one("PRAGMA user_version")
+        return int(row["user_version"]) if row else 0
+
+    def set_schema_version(self, version: int) -> None:
+        self.execute(f"PRAGMA user_version = {int(version)}")
+
     def health_check(self) -> Dict[str, Any]:
         """Same status dict shape as db_manager.health_check
         (reference database.py:68-82)."""
@@ -220,6 +229,160 @@ def _encode(v: Any) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# Postgres backend (DSN-selected; the reference runs Postgres in prod,
+# app/database/database.py:10-17). psycopg2 is not baked into this
+# image, so the driver import is gated at construction time.
+# ---------------------------------------------------------------------------
+def pg_schema() -> str:
+    """The sqlite SCHEMA translated to the Postgres dialect — one
+    source of truth, two dialects."""
+    import re
+
+    s = SCHEMA.replace(
+        "INTEGER PRIMARY KEY AUTOINCREMENT", "BIGSERIAL PRIMARY KEY"
+    )
+    s = re.sub(
+        re.escape("(strftime('%Y-%m-%dT%H:%M:%f', 'now'))"),
+        "(to_char(now() at time zone 'utc', 'YYYY-MM-DD\"T\"HH24:MI:SS.MS'))",
+        s,
+    )
+    return s
+
+
+def pg_sql(sql: str) -> str:
+    """Rewrite sqlite-style ``?`` placeholders to psycopg2 ``%s``.
+
+    Every query in serve/db uses ``?`` params with no literal question
+    marks, so a plain substitution is exact.
+    """
+    return sql.replace("?", "%s")
+
+
+class PostgresDatabase:
+    """Postgres implementation of the :class:`Database` surface.
+
+    Same public methods (execute/executemany/query_one/query_all/
+    insert/update/init_db/health_check/close); CRUD and the migration
+    runner work against either backend unchanged.
+    """
+
+    def __init__(self, url: str):
+        try:
+            import psycopg2
+            import psycopg2.extras
+        except ImportError as e:  # pragma: no cover - driver not in image
+            raise RuntimeError(
+                "database_url selects Postgres but psycopg2 is not "
+                "installed; pip install psycopg2-binary or use a "
+                "sqlite:/// DSN"
+            ) from e
+        self._psycopg2 = psycopg2
+        self._dict_cursor = psycopg2.extras.RealDictCursor
+        self._conn = psycopg2.connect(url)
+        self._conn.autocommit = True
+        self._lock = threading.RLock()
+        self.path = url
+
+    def execute(self, sql: str, params=()):
+        with self._lock, self._conn.cursor() as cur:
+            cur.execute(pg_sql(sql), tuple(params))
+            return cur
+
+    def executemany(self, sql: str, seq):
+        with self._lock, self._conn.cursor() as cur:
+            cur.executemany(pg_sql(sql), [tuple(p) for p in seq])
+            return cur
+
+    def query_one(self, sql: str, params=()) -> Optional[Dict[str, Any]]:
+        with self._lock, self._conn.cursor(
+            cursor_factory=self._dict_cursor
+        ) as cur:
+            cur.execute(pg_sql(sql), tuple(params))
+            row = cur.fetchone()
+        return dict(row) if row else None
+
+    def query_all(self, sql: str, params=()) -> list:
+        with self._lock, self._conn.cursor(
+            cursor_factory=self._dict_cursor
+        ) as cur:
+            cur.execute(pg_sql(sql), tuple(params))
+            rows = cur.fetchall()
+        return [dict(r) for r in rows]
+
+    def insert(self, table: str, data: Dict[str, Any]) -> int:
+        keys = list(data)
+        sql = (
+            f"INSERT INTO {table} ({', '.join(keys)}) "
+            f"VALUES ({', '.join('%s' for _ in keys)}) RETURNING id"
+        )
+        with self._lock, self._conn.cursor() as cur:
+            cur.execute(sql, [_encode(v) for v in data.values()])
+            return int(cur.fetchone()[0])
+
+    def update(self, table: str, row_id: int, data: Dict[str, Any]) -> None:
+        if not data:
+            return
+        sets = ", ".join(f"{k} = %s" for k in data)
+        with self._lock, self._conn.cursor() as cur:
+            cur.execute(
+                f"UPDATE {table} SET {sets} WHERE id = %s",
+                [_encode(v) for v in data.values()] + [row_id],
+            )
+
+    def init_db(self) -> None:
+        with self._lock, self._conn.cursor() as cur:
+            cur.execute(pg_schema())
+            cur.execute(
+                "CREATE TABLE IF NOT EXISTS schema_version "
+                "(version BIGINT NOT NULL)"
+            )
+        from .migrations import migrate
+
+        migrate(self)
+
+    def get_schema_version(self) -> int:
+        row = self.query_one("SELECT version FROM schema_version LIMIT 1")
+        return int(row["version"]) if row else 0
+
+    def set_schema_version(self, version: int) -> None:
+        with self._lock, self._conn.cursor() as cur:
+            cur.execute("DELETE FROM schema_version")
+            cur.execute(
+                "INSERT INTO schema_version (version) VALUES (%s)",
+                (int(version),),
+            )
+
+    def health_check(self) -> Dict[str, Any]:
+        try:
+            t0 = time.time()
+            self.query_one("SELECT 1 as ok")
+            return {
+                "status": "healthy",
+                "response_time_ms": round((time.time() - t0) * 1000, 2),
+                "database": self.path,
+            }
+        except Exception as e:
+            return {"status": "unhealthy", "error": str(e)}
+
+    def close(self):
+        with self._lock:
+            self._conn.close()
+
+
+def make_database(url: Optional[str] = None):
+    """DSN-dispatching factory: ``postgresql://``/``postgres://`` →
+    :class:`PostgresDatabase`, anything else → sqlite
+    :class:`Database`."""
+    if url is None:
+        from ...core.config import settings
+
+        url = settings.database_url
+    if url.startswith(("postgresql://", "postgres://")):
+        return PostgresDatabase(url)
+    return Database(url)
+
+
+# ---------------------------------------------------------------------------
 # Module-level default database (the reference's engine + SessionLocal)
 # ---------------------------------------------------------------------------
 _default_db: Optional[Database] = None
@@ -230,7 +393,7 @@ def get_database(url: Optional[str] = None) -> Database:
     global _default_db
     with _default_lock:
         if _default_db is None or url is not None:
-            _default_db = Database(url)
+            _default_db = make_database(url)
         return _default_db
 
 

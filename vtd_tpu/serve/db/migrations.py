@@ -37,12 +37,17 @@ MIGRATIONS: List[Tuple[int, str, object]] = [
 
 
 def current_version(db) -> int:
-    row = db.query_one("PRAGMA user_version")
-    return int(row["user_version"]) if row else 0
+    return db.get_schema_version()
 
 
 def migrate(db) -> int:
-    """Apply pending migrations; returns the resulting schema version."""
+    """Apply pending migrations; returns the resulting schema version.
+
+    ``db`` is any backend exposing the Database surface plus
+    ``get_schema_version``/``set_schema_version`` (sqlite stores it in
+    ``PRAGMA user_version``, Postgres in a ``schema_version`` table) —
+    the step SQL itself is dialect-portable.
+    """
     version = current_version(db)
     for target, desc, action in MIGRATIONS:
         if target <= version:
@@ -51,7 +56,7 @@ def migrate(db) -> int:
             action(db)
         elif isinstance(action, str):
             db.execute(action)
-        db.execute(f"PRAGMA user_version = {target}")
+        db.set_schema_version(target)
         logger.info("migrated schema to v%d: %s", target, desc)
         version = target
     return version

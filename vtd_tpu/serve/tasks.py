@@ -75,8 +75,20 @@ def get_pipeline(use_transformer: bool = False):
         kwargs["use_transformer_ocr"] = use_transformer
         if settings.profile_trace_dir:
             kwargs.setdefault("profile_dir", settings.profile_trace_dir)
+        # Standard checkpoint locations under settings.model_path (the
+        # reference loads {model_path}/text_detector.pth etc. and its
+        # health check requires them, health.py:188). Without trained
+        # weights the pipeline would run randomly-initialized models and
+        # emit noise, so wire them whenever present.
+        det_ckpt = os.path.join(settings.model_path, "text_detector")
+        if os.path.exists(det_ckpt):
+            kwargs.setdefault("detector_path", det_ckpt)
         if use_transformer:
             kwargs["recognizer_path"] = trocr_ckpt
+        else:
+            rec_ckpt = os.path.join(settings.model_path, "text_recognizer")
+            if os.path.exists(rec_ckpt):
+                kwargs.setdefault("recognizer_path", rec_ckpt)
         _pipelines[use_transformer] = VideoTextPipeline(**kwargs)
     return _pipelines[use_transformer]
 
