@@ -85,3 +85,65 @@ def test_entry_compiles():
     prob, thresh = jax.jit(fn)(*args)
     assert prob.shape == (1, 640, 640, 1)
     assert thresh.shape == (1, 640, 640, 1)
+
+
+def _mk_text_frames(b=8, h=240, w=320):
+    import cv2
+
+    frames = []
+    for i in range(b):
+        f = np.full((h, w, 3), 235, np.uint8)
+        cv2.putText(
+            f, f"TXT{i}", (40, 120), cv2.FONT_HERSHEY_SIMPLEX, 1.5,
+            (0, 0, 0), 3,
+        )
+        frames.append(f)
+    return np.stack(frames)
+
+
+def test_mesh_pipeline_matches_single_device():
+    """The flagship fused inference pipeline (detect -> postprocess ->
+    crop -> recognize) data-sharded over the 8-device mesh produces the
+    same per-frame detections as single-device execution."""
+    from vtd_tpu.core.mesh import make_mesh
+    from vtd_tpu.runtime.pipeline import VideoTextPipeline
+
+    kwargs = dict(
+        use_transformer_ocr=False, batch_size=8, max_dets=16,
+        detector_input_size=160, recognizer_kwargs={"pad_batch": 32},
+    )
+    frames = _mk_text_frames()
+    valid = np.ones(8, bool)
+
+    ref_pipe = VideoTextPipeline(**kwargs)
+    ref = ref_pipe.process_batch(frames, valid)
+
+    mesh = make_mesh()  # all 8 virtual devices on the data axis
+    dp_pipe = VideoTextPipeline(mesh=mesh, **kwargs)
+    out = dp_pipe.process_batch(frames, valid)
+
+    assert len(out) == len(ref) == 8
+    for dets_out, dets_ref in zip(out, ref):
+        assert len(dets_out) == len(dets_ref)
+        for d_out, d_ref in zip(dets_out, dets_ref):
+            assert d_out["text"] == d_ref["text"]
+            assert d_out["bbox"] == d_ref["bbox"]
+            assert (
+                abs(
+                    d_out["detection_confidence"]
+                    - d_ref["detection_confidence"]
+                )
+                < 1e-3
+            )
+
+
+def test_mesh_pipeline_batch_divisibility():
+    import pytest
+    from vtd_tpu.core.mesh import make_mesh
+    from vtd_tpu.runtime.pipeline import VideoTextPipeline
+
+    with pytest.raises(ValueError, match="divisible"):
+        VideoTextPipeline(
+            use_transformer_ocr=False, batch_size=6, max_dets=16,
+            detector_input_size=160, mesh=make_mesh(),
+        )

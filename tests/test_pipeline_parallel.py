@@ -1,83 +1,106 @@
-"""Two-stage pipeline-parallel runner tests (8-device CPU mesh)."""
+"""Two-stage pipeline-parallel tests (8-device CPU mesh).
+
+TwoStagePipeline is the program backend behind
+``VideoTextPipeline(parallel_mode="two_stage")`` — detector stage on
+half the devices, recognizer on the other half, same packed wire
+format as the fused single-program path.
+"""
 import numpy as np
 import pytest
 
 
+def _text_frames(b=4, h=240, w=320):
+    import cv2
+
+    frames = np.full((b, h, w, 3), 235, np.uint8)
+    for i in range(b):
+        cv2.putText(
+            frames[i], "AB12", (40, 120), cv2.FONT_HERSHEY_SIMPLEX, 1.5,
+            (0, 0, 0), 3,
+        )
+    return frames
+
+
 @pytest.fixture(scope="module")
-def runner():
-    from vtd_tpu.parallel.pipeline import TwoStagePipeline
-    from vtd_tpu.runtime.detector import TextDetector
-    from vtd_tpu.runtime.recognizer import TextRecognizer
+def pipelines():
+    from vtd_tpu.runtime.pipeline import VideoTextPipeline
 
-    det = TextDetector(input_size=160, max_dets=16)
-    rec = TextRecognizer(use_transformer=False, pad_batch=32)
-    return TwoStagePipeline(det, rec, max_dets=16), det, rec
+    kwargs = dict(
+        use_transformer_ocr=False, batch_size=4, max_dets=16,
+        detector_input_size=160, recognizer_kwargs={"pad_batch": 32},
+    )
+    fused = VideoTextPipeline(**kwargs)
+    two_stage = VideoTextPipeline(parallel_mode="two_stage", **kwargs)
+    return fused, two_stage
 
 
-def test_stage_device_split(runner):
-    tsp, _, _ = runner
-    a, b = tsp.stage_devices()
+def test_stage_device_split(pipelines):
+    _, two_stage = pipelines
+    a, b = two_stage._detect_crop.stage_devices()
     assert len(a) == 4 and len(b) == 4
     assert not set(a) & set(b)
 
 
-def test_two_stage_matches_fused(runner):
-    import cv2
+def test_two_stage_matches_fused(pipelines):
+    """process_batch through the two-stage runner produces the same
+    detections as the fused single-program path."""
+    fused, two_stage = pipelines
+    frames = _text_frames()
+    valid = np.ones(4, bool)
+    ref = fused.process_batch(frames, valid)
+    out = two_stage.process_batch(frames, valid)
+    assert len(out) == len(ref) == 4
+    for dets_out, dets_ref in zip(out, ref):
+        assert len(dets_out) == len(dets_ref)
+        for d_out, d_ref in zip(dets_out, dets_ref):
+            assert d_out["text"] == d_ref["text"]
+            assert d_out["bbox"] == d_ref["bbox"]
 
-    tsp, det, rec = runner
-    frames = np.full((4, 160, 160, 3), 255, np.uint8)
-    for i in range(4):
-        cv2.putText(
-            frames[i], "AB", (30, 90), cv2.FONT_HERSHEY_SIMPLEX, 2, (0, 0, 0), 4
+
+def test_two_stage_invalid_combo():
+    from vtd_tpu.core.mesh import make_mesh
+    from vtd_tpu.runtime.pipeline import VideoTextPipeline
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        VideoTextPipeline(
+            use_transformer_ocr=False, batch_size=8, max_dets=16,
+            detector_input_size=160, mesh=make_mesh(),
+            parallel_mode="two_stage",
+        )
+    with pytest.raises(ValueError, match="parallel_mode"):
+        VideoTextPipeline(
+            use_transformer_ocr=False, batch_size=8,
+            detector_input_size=160, parallel_mode="bogus",
         )
 
-    out = tsp.run_batches([frames, frames])
+
+def test_run_batches_wire_format(pipelines):
+    """Raw runner API: packed uint8 batches in the fused layout."""
+    _, two_stage = pipelines
+    frames = _text_frames()
+    out = two_stage._detect_crop.run_batches([frames, frames])
     assert len(out) == 2
-    for rec_out in out:
-        assert rec_out["det_pack"].shape == (4, 16, 14)
-        assert rec_out["ids"].shape[0] == 4 * 16
-        assert np.isfinite(rec_out["det_pack"]).all()
-    # both batches identical input -> identical output
-    np.testing.assert_allclose(
-        out[0]["det_pack"], out[1]["det_pack"], atol=1e-5
+    for (pack,) in out:
+        assert pack.dtype == np.uint8
+        assert pack.shape[:2] == (4, 16)
+
+
+def test_two_stage_transformer_smoke():
+    """Transformer path: detect on group A, KV-cache decode on group B
+    (params staged to B), end-to-end through process_batch."""
+    from vtd_tpu.models.trocr import small_config
+    from vtd_tpu.runtime.pipeline import VideoTextPipeline
+
+    p = VideoTextPipeline(
+        use_transformer_ocr=True, batch_size=4, max_dets=8,
+        detector_input_size=160, parallel_mode="two_stage",
+        recognizer_kwargs={
+            "transformer_config": small_config(), "pad_batch": 4,
+        },
     )
-
-    # Parity with the single-group detector path. Tolerance is ONE
-    # PIXEL: the two paths are separately compiled XLA programs, and
-    # near-ties in the min-area-rect angle search can break to adjacent
-    # candidates under different fusion/reassociation, moving a box
-    # edge by <=1px. Sub-pixel-identical output across distinct
-    # compilations is not part of the contract; pixel-level is.
-    ref = det.detect_batch_arrays(frames, 0.5)
-    ref_boxes = np.asarray(ref["boxes"])
-    np.testing.assert_allclose(
-        out[0]["det_pack"][..., :4], ref_boxes, atol=1.0
-    )
-
-
-def test_detect_batch_packed_matches_arrays(runner):
-    """detect_batch (single packed f16 fetch) agrees with the
-    detect_batch_arrays dict path it was derived from."""
-    import cv2
-
-    from vtd_tpu.ops.db_postprocess import extract_detections
-
-    _, det, _ = runner
-    frames = np.full((2, 160, 160, 3), 255, np.uint8)
-    for i in range(2):
-        cv2.putText(
-            frames[i], "AB", (30, 90), cv2.FONT_HERSHEY_SIMPLEX, 2,
-            (0, 0, 0), 4,
-        )
-    packed = det.detect_batch(frames, 0.5)
-    post = {k: np.asarray(v) for k, v in
-            det.detect_batch_arrays(frames, 0.5).items()}
-    for i in range(2):
-        ref = extract_detections(
-            {k: v[i] for k, v in post.items()}, 160, 160, det.input_size
-        )
-        assert len(packed[i]) == len(ref) >= 1
-        for a, b in zip(packed[i], ref):
-            # f16 carries pixel coords exactly up to 2048; scores round
-            np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1)
-            assert abs(a["confidence"] - b["confidence"]) < 1e-2
+    frames = _text_frames(b=4)
+    out = p.process_batch(frames, np.ones(4, bool))
+    assert len(out) == 4
+    for dets in out:
+        for d in dets:
+            assert isinstance(d["text"], str)

@@ -35,10 +35,26 @@ def _cmd_process(argv):
     parser.add_argument("--out", default="", help="write JSON result here")
     parser.add_argument("--format", default="json",
                         choices=["json", "csv", "xml"])
+    parser.add_argument("--data-parallel", type=int, default=0, metavar="N",
+                        help="shard frame batches over an N-chip data "
+                             "mesh (0 = single device)")
+    parser.add_argument("--two-stage", action="store_true",
+                        help="pipeline parallelism: detect on half the "
+                             "chips, recognize on the other half")
     args = parser.parse_args(argv)
 
     from .runtime.pipeline import VideoTextPipeline
 
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from .core.mesh import make_mesh
+
+        mesh = make_mesh(
+            n_data=args.data_parallel, n_model=1,
+            devices=jax.devices()[: args.data_parallel],
+        )
     pipeline = VideoTextPipeline(
         detector_path=args.detector or None,
         recognizer_path=args.recognizer or None,
@@ -49,6 +65,8 @@ def _cmd_process(argv):
         detector_input_size=args.input_size,
         sample_mode=args.sample_mode,
         temporal_dedup=args.temporal_dedup,
+        mesh=mesh,
+        parallel_mode="two_stage" if args.two_stage else "fused",
     )
     result = asyncio.run(pipeline.process_video(args.video, "."))
 

@@ -91,6 +91,10 @@ if _HAVE_PYDANTIC_SETTINGS:
         compute_dtype: str = "bfloat16"
         mesh_data_axis: str = "data"
         mesh_model_axis: str = "model"
+        # >0: worker pipelines data-shard each frame batch over this
+        # many chips (jax.sharding.Mesh); the k8s-GPU-replica analog
+        # collapsed into one process (deployment.yaml:127-189).
+        data_parallel_chips: int = 0
         # Non-empty: worker pipelines wrap the hot loop in
         # jax.profiler.trace writing to this directory (SURVEY §5).
         profile_trace_dir: str = ""
@@ -142,6 +146,7 @@ else:  # pragma: no cover - plain-object fallback when pydantic is missing
                 compute_dtype="bfloat16",
                 mesh_data_axis="data",
                 mesh_model_axis="model",
+                data_parallel_chips=0,
                 profile_trace_dir="",
             )
             for k, v in defaults.items():

@@ -85,6 +85,8 @@ class VideoTextPipeline:
         pipeline_depth: int = 3,
         decode_backend: str = "auto",
         preserve_aspect: bool = True,
+        mesh: Optional[Any] = None,
+        parallel_mode: str = "fused",
     ):
         self.detector = TextDetector(
             detector_path, input_size=detector_input_size, max_dets=max_dets
@@ -143,8 +145,71 @@ class VideoTextPipeline:
             self.crop_hw = (32, 128)
             self.rec_chunk = rec_chunk or self.recognizer.pad_batch
         self._thr_cache: Dict[float, Any] = {}
-        self._detect_crop = self._build_detect_crop()
+        # Multi-chip inference: a jax.sharding.Mesh data-shards every
+        # frame batch over the mesh's data axis (SURVEY §2.3 row 1 —
+        # "frames sharded over chips with pjit on a data axis"; the
+        # reference scales GPU workers via k8s replicas instead,
+        # k8s/deployment.yaml:127-189). Params replicate / tp-shard per
+        # parallel.sharding rules and GSPMD partitions the whole fused
+        # program, postprocess and crop included (both are per-frame
+        # vmaps, so they shard cleanly with zero collectives until the
+        # final output gather).
+        self.mesh = mesh
+        if parallel_mode not in ("fused", "two_stage"):
+            raise ValueError(f"unknown parallel_mode {parallel_mode!r}")
+        if parallel_mode == "two_stage" and mesh is not None:
+            raise ValueError(
+                "mesh (data parallel) and parallel_mode='two_stage' are "
+                "mutually exclusive; two_stage builds its own stage "
+                "meshes"
+            )
+        self.parallel_mode = parallel_mode
+        if mesh is not None:
+            self._apply_mesh(mesh)
+        if parallel_mode == "two_stage":
+            # Pipeline parallelism (SURVEY §2.3 PP): detector stage on
+            # one chip group, recognizer on the other, same wire format.
+            from ..parallel.pipeline import TwoStagePipeline
+
+            self._detect_crop = TwoStagePipeline(
+                self.detector,
+                self.recognizer,
+                use_transformer=self.use_transformer,
+                max_dets=self.max_dets,
+                crop_hw=self.crop_hw,
+            )
+            for g in self._detect_crop.group_sizes:
+                if self.batch_size % g != 0:
+                    raise ValueError(
+                        f"batch_size {self.batch_size} not divisible by "
+                        f"two-stage device groups "
+                        f"{self._detect_crop.group_sizes}"
+                    )
+        else:
+            self._detect_crop = self._build_detect_crop()
         self._recognize_sel = self._build_recognize_sel()
+
+    # ------------------------------------------------------------------
+    def _apply_mesh(self, mesh) -> None:
+        from ..core.mesh import DATA_AXIS
+        from ..parallel.sharding import shard_variables
+
+        n_data = int(mesh.shape[DATA_AXIS])
+        if self.batch_size % n_data != 0:
+            raise ValueError(
+                f"batch_size {self.batch_size} not divisible by the "
+                f"mesh data axis ({n_data})"
+            )
+        self.detector.variables = shard_variables(
+            self.detector.variables, mesh
+        )
+        if self.use_transformer:
+            tr = self.recognizer.transformer
+            tr.variables = shard_variables(tr.variables, mesh)
+        else:
+            self.recognizer.crnn_variables = shard_variables(
+                self.recognizer.crnn_variables, mesh
+            )
 
     # ------------------------------------------------------------------
     def _build_detect_crop(self):
@@ -306,12 +371,36 @@ class VideoTextPipeline:
         # full host-link round trip (~30 ms on a relayed link).
         dev_thr = self._thr_cache.get(thr)
         if dev_thr is None:
-            dev_thr = jax.device_put(jnp.float32(thr))
+            if self.parallel_mode == "two_stage":
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                dev_thr = jax.device_put(
+                    jnp.float32(thr),
+                    NamedSharding(self._detect_crop.mesh_a, P()),
+                )
+            elif self.mesh is not None:
+                from ..core.mesh import replicated
+
+                dev_thr = jax.device_put(
+                    jnp.float32(thr), replicated(self.mesh)
+                )
+            else:
+                dev_thr = jax.device_put(jnp.float32(thr))
             self._thr_cache[thr] = dev_thr
+        if self.mesh is not None:
+            from ..parallel.sharding import batch_sharding
+
+            frames_dev = jax.device_put(
+                np.asarray(frames), batch_sharding(self.mesh, frames.ndim)
+            )
+        elif self.parallel_mode == "two_stage":
+            frames_dev = frames  # stage-A placement happens in the runner
+        else:
+            frames_dev = jnp.asarray(frames)
         handles = self._detect_crop(
             self.detector.variables,
             rec_vars,
-            jnp.asarray(frames),
+            frames_dev,
             dev_thr,
         )
         # Start the device->host copy of the packed outputs as soon as

@@ -83,6 +83,17 @@ def get_pipeline(use_transformer: bool = False):
         det_ckpt = os.path.join(settings.model_path, "text_detector")
         if os.path.exists(det_ckpt):
             kwargs.setdefault("detector_path", det_ckpt)
+        # env vars arrive as strings under the fallback Settings; "0"
+        # must not truthy-enable the mesh.
+        n_dp = int(settings.data_parallel_chips or 0)
+        if n_dp > 0 and "mesh" not in kwargs:
+            import jax
+
+            from ..core.mesh import make_mesh
+
+            kwargs["mesh"] = make_mesh(
+                n_data=n_dp, n_model=1, devices=jax.devices()[:n_dp]
+            )
         if use_transformer:
             kwargs["recognizer_path"] = trocr_ckpt
         else:
