@@ -283,7 +283,7 @@ def create_app(
         os.makedirs(settings.temp_dir, exist_ok=True)
         tmp_path = Path(settings.temp_dir) / unique_filename
         try:
-            tmp_path.write_bytes(content)
+            content.save_to(str(tmp_path))
             video_info = _run(video_service.get_video_metadata(str(tmp_path)))
             if video_info.get("duration", 0) > settings.max_video_duration:
                 raise HTTPException(

@@ -15,17 +15,27 @@ carries over directly.
 """
 from __future__ import annotations
 
+import io
 import json
 import logging
+import os
 import re
+import tempfile
 import threading
 import traceback
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, BinaryIO, Callable, Dict, Iterator, List, Optional, Tuple
 from urllib.parse import parse_qs, urlparse
 
 logger = logging.getLogger(__name__)
+
+# Bodies and multipart file parts larger than this spill from RAM to a
+# disk-backed temp file; file responses are written to the socket in
+# chunks of _CHUNK.  The reference streams uploads through a temp file
+# the same way (app/api/endpoints/videos.py:52-54).
+SPOOL_THRESHOLD = 8 * 1024 * 1024
+_CHUNK = 256 * 1024
 
 
 class HTTPException(Exception):
@@ -34,6 +44,44 @@ class HTTPException(Exception):
         self.status_code = status_code
         self.detail = detail
         self.headers = headers or {}
+
+
+class UploadFile:
+    """A parsed multipart file part.
+
+    Backed by a spooled temp file, so a part larger than
+    ``SPOOL_THRESHOLD`` never lives in RAM as one object.  ``len()``
+    gives the part size; ``read()`` materializes bytes (small parts /
+    tests); ``save_to()`` streams to a destination path.
+    """
+
+    def __init__(self, filename: str, fileobj: BinaryIO, size: int):
+        self.filename = filename
+        self._f = fileobj
+        self.size = size
+
+    def __len__(self) -> int:
+        return self.size
+
+    def read(self) -> bytes:
+        self._f.seek(0)
+        return self._f.read()
+
+    def chunks(self, size: int = _CHUNK) -> Iterator[bytes]:
+        self._f.seek(0)
+        while True:
+            data = self._f.read(size)
+            if not data:
+                return
+            yield data
+
+    def save_to(self, path: str) -> None:
+        with open(path, "wb") as out:
+            for chunk in self.chunks():
+                out.write(chunk)
+
+    def close(self) -> None:
+        self._f.close()
 
 
 @dataclass
@@ -46,30 +94,54 @@ class Request:
     path_params: Dict[str, str] = field(default_factory=dict)
     client_ip: str = ""
     state: Dict[str, Any] = field(default_factory=dict)
+    # Large bodies arrive spooled to disk instead of as `body` bytes.
+    body_file: Optional[BinaryIO] = None
+
+    def _read_body(self) -> bytes:
+        if self.body_file is not None:
+            self.body_file.seek(0)
+            return self.body_file.read()
+        return self.body
+
+    def _body_stream(self) -> BinaryIO:
+        if self.body_file is not None:
+            self.body_file.seek(0)
+            return self.body_file
+        return io.BytesIO(self.body)
 
     def json(self) -> Any:
-        if not self.body:
+        data = self._read_body()
+        if not data:
             return {}
         try:
-            return json.loads(self.body.decode("utf-8"))
+            return json.loads(data.decode("utf-8"))
         except (ValueError, UnicodeDecodeError):
             raise HTTPException(400, "Invalid JSON body")
+
+    def _multipart(self) -> Tuple[Dict[str, str], Dict[str, Tuple[str, UploadFile]]]:
+        cached = self.state.get("_multipart_cache")
+        if cached is None:
+            cached = parse_multipart_stream(
+                self._body_stream(), self.headers.get("content-type", "")
+            )
+            self.state["_multipart_cache"] = cached
+        return cached
 
     def form(self) -> Dict[str, str]:
         ctype = self.headers.get("content-type", "")
         if "application/x-www-form-urlencoded" in ctype:
-            parsed = parse_qs(self.body.decode("utf-8"), keep_blank_values=True)
+            parsed = parse_qs(
+                self._read_body().decode("utf-8"), keep_blank_values=True
+            )
             return {k: v[0] for k, v in parsed.items()}
         if "multipart/form-data" in ctype:
-            fields, _ = parse_multipart(self.body, ctype)
-            return fields
+            return self._multipart()[0]
         return {}
 
-    def files(self) -> Dict[str, Tuple[str, bytes]]:
+    def files(self) -> Dict[str, Tuple[str, UploadFile]]:
         ctype = self.headers.get("content-type", "")
         if "multipart/form-data" in ctype:
-            _, files = parse_multipart(self.body, ctype)
-            return files
+            return self._multipart()[1]
         return {}
 
 
@@ -80,8 +152,14 @@ class Response:
     headers: Dict[str, str] = field(default_factory=dict)
     media_type: str = "application/json"
     body_bytes: Optional[bytes] = None
+    # Set (via FileResponse) to stream a file from disk instead of
+    # holding the payload in memory; takes precedence over content.
+    file_path: Optional[str] = None
 
     def render(self) -> bytes:
+        if self.file_path is not None:
+            with open(self.file_path, "rb") as f:
+                return f.read()
         if self.body_bytes is not None:
             return self.body_bytes
         if self.content is None:
@@ -94,58 +172,129 @@ class Response:
 
 
 def FileResponse(path: str, filename: str = "", media_type: str = "application/octet-stream") -> Response:
-    with open(path, "rb") as f:
-        data = f.read()
+    """File-backed response.  The socket handler streams it in
+    ``_CHUNK`` pieces; ``render()`` (TestClient path) materializes it."""
     headers = {}
     if filename:
         headers["Content-Disposition"] = f'attachment; filename="{filename}"'
-    return Response(200, None, headers, media_type, body_bytes=data)
+    resp = Response(200, None, headers, media_type)
+    resp.file_path = path
+    return resp
+
+
+def parse_multipart_stream(
+    stream: BinaryIO, content_type: str, spool_threshold: int = SPOOL_THRESHOLD
+) -> Tuple[Dict[str, str], Dict[str, Tuple[str, UploadFile]]]:
+    """Incrementally parse multipart/form-data from a byte stream.
+
+    File parts are written to spooled temp files as they arrive, so a
+    multi-hundred-MB upload costs ``O(_CHUNK)`` RAM (the reference gets
+    the same property from Starlette's multipart parser +
+    ``shutil.copyfileobj`` at app/api/endpoints/videos.py:52-54).
+
+    Returns ``(fields, files)`` with files mapping field name ->
+    ``(filename, UploadFile)``.
+    """
+    m = re.search(r"boundary=([^;]+)", content_type)
+    if not m:
+        raise HTTPException(400, "Malformed multipart body")
+    boundary = b"--" + m.group(1).strip('"').encode()
+    fields: Dict[str, str] = {}
+    files: Dict[str, Tuple[str, UploadFile]] = {}
+
+    buf = b""
+
+    def fill() -> bool:
+        nonlocal buf
+        data = stream.read(_CHUNK)
+        if not data:
+            return False
+        buf += data
+        return True
+
+    # First delimiter line (no preceding CRLF required at stream start).
+    while boundary not in buf:
+        if not fill():
+            return fields, files
+    buf = buf[buf.index(boundary) + len(boundary):]
+
+    while True:
+        while len(buf) < 2:
+            if not fill():
+                return fields, files
+        if buf.startswith(b"--"):
+            return fields, files  # closing "--boundary--"
+        # Framing newline after the delimiter line.
+        if buf.startswith(b"\r\n"):
+            buf = buf[2:]
+        elif buf.startswith(b"\n"):
+            buf = buf[1:]
+        # Part headers.
+        while b"\r\n\r\n" not in buf and b"\n\n" not in buf:
+            if not fill():
+                return fields, files
+        sep = b"\r\n\r\n" if b"\r\n\r\n" in buf else b"\n\n"
+        raw_headers, buf = buf.split(sep, 1)
+        disp = ""
+        for line in raw_headers.splitlines():
+            if line.lower().startswith(b"content-disposition"):
+                disp = line.decode("utf-8", "replace")
+        name_m = re.search(r'name="([^"]*)"', disp)
+        file_m = re.search(r'filename="([^"]*)"', disp)
+        is_file = bool(name_m and file_m)
+        sink: BinaryIO
+        if is_file:
+            sink = tempfile.SpooledTemporaryFile(max_size=spool_threshold)
+        else:
+            sink = io.BytesIO()
+        size = 0
+
+        # Part body: everything up to "\n--boundary" (covers CRLF and
+        # bare-LF framing; a trailing \r before the cut is framing too).
+        delim = b"\n" + boundary
+        while True:
+            j = buf.find(delim)
+            if j >= 0:
+                cut = j - 1 if j > 0 and buf[j - 1:j] == b"\r" else j
+                sink.write(buf[:cut])
+                size += cut
+                buf = buf[j + len(delim):]
+                break
+            # Keep a tail that could be a delimiter prefix; flush the rest.
+            keep = len(delim) + 1
+            if len(buf) > keep:
+                sink.write(buf[:-keep])
+                size += len(buf) - keep
+                buf = buf[-keep:]
+            if not fill():
+                sink.write(buf)
+                size += len(buf)
+                buf = b""
+                break
+
+        if name_m:
+            name = name_m.group(1)
+            if is_file:
+                sink.seek(0)
+                files[name] = (file_m.group(1), UploadFile(file_m.group(1), sink, size))
+            else:
+                fields[name] = sink.getvalue().decode("utf-8", "replace")  # type: ignore[attr-defined]
+        else:
+            sink.close()
+        if not buf and not fill():
+            return fields, files
 
 
 def parse_multipart(
     body: bytes, content_type: str
 ) -> Tuple[Dict[str, str], Dict[str, Tuple[str, bytes]]]:
-    """Parse multipart/form-data. Returns (fields, files) where files
-    maps field name -> (filename, bytes)."""
-    m = re.search(r"boundary=([^;]+)", content_type)
-    if not m:
-        raise HTTPException(400, "Malformed multipart body")
-    boundary = m.group(1).strip('"').encode()
-    fields: Dict[str, str] = {}
-    files: Dict[str, Tuple[str, bytes]] = {}
-    segments = body.split(b"--" + boundary)
-    for part in segments[1:]:
-        if part.startswith(b"--"):
-            break  # closing delimiter "--boundary--"
-        # The CRLF after the delimiter line and the CRLF before the next
-        # delimiter are framing, not content: remove exactly one of each
-        # (strip() would eat trailing 0x0a/0x0d bytes of binary payloads).
-        if part.startswith(b"\r\n"):
-            part = part[2:]
-        elif part.startswith(b"\n"):
-            part = part[1:]
-        if part.endswith(b"\r\n"):
-            part = part[:-2]
-        elif part.endswith(b"\n"):
-            part = part[:-1]
-        if not part:
-            continue
-        if b"\r\n\r\n" not in part:
-            continue
-        raw_headers, data = part.split(b"\r\n\r\n", 1)
-        disp = ""
-        for line in raw_headers.split(b"\r\n"):
-            if line.lower().startswith(b"content-disposition"):
-                disp = line.decode("utf-8", "replace")
-        name_m = re.search(r'name="([^"]*)"', disp)
-        if not name_m:
-            continue
-        name = name_m.group(1)
-        file_m = re.search(r'filename="([^"]*)"', disp)
-        if file_m:
-            files[name] = (file_m.group(1), data)
-        else:
-            fields[name] = data.decode("utf-8", "replace")
+    """Parse an in-memory multipart body. Returns (fields, files) where
+    files maps field name -> (filename, bytes). Thin materializing
+    wrapper over :func:`parse_multipart_stream`."""
+    fields, ufiles = parse_multipart_stream(io.BytesIO(body), content_type)
+    files = {k: (fname, uf.read()) for k, (fname, uf) in ufiles.items()}
+    for _, uf in ufiles.values():
+        uf.close()
     return fields, files
 
 
@@ -264,7 +413,22 @@ class _HTTPHandler(BaseHTTPRequestHandler):
         parsed = urlparse(self.path)
         query = {k: v[0] for k, v in parse_qs(parsed.query).items()}
         length = int(self.headers.get("Content-Length") or 0)
-        body = self.rfile.read(length) if length else b""
+        body = b""
+        body_file = None
+        if length > SPOOL_THRESHOLD:
+            # Spool big bodies (uploads) to disk in chunks: peak RSS is
+            # O(_CHUNK), not O(Content-Length).
+            body_file = tempfile.SpooledTemporaryFile(max_size=SPOOL_THRESHOLD)
+            remaining = length
+            while remaining > 0:
+                chunk = self.rfile.read(min(_CHUNK, remaining))
+                if not chunk:
+                    break
+                body_file.write(chunk)
+                remaining -= len(chunk)
+            body_file.seek(0)
+        elif length:
+            body = self.rfile.read(length)
         request = Request(
             method=self.command,
             path=parsed.path,
@@ -272,16 +436,36 @@ class _HTTPHandler(BaseHTTPRequestHandler):
             headers={k.lower(): v for k, v in self.headers.items()},
             body=body,
             client_ip=self.client_address[0],
+            body_file=body_file,
         )
-        response = self.app.handle(request)
-        payload = response.render()
-        self.send_response(response.status_code)
-        self.send_header("Content-Type", response.media_type)
-        self.send_header("Content-Length", str(len(payload)))
-        for k, v in response.headers.items():
-            self.send_header(k, v)
-        self.end_headers()
-        self.wfile.write(payload)
+        try:
+            response = self.app.handle(request)
+            if response.file_path is not None:
+                size = os.path.getsize(response.file_path)
+                self.send_response(response.status_code)
+                self.send_header("Content-Type", response.media_type)
+                self.send_header("Content-Length", str(size))
+                for k, v in response.headers.items():
+                    self.send_header(k, v)
+                self.end_headers()
+                with open(response.file_path, "rb") as f:
+                    while True:
+                        chunk = f.read(_CHUNK)
+                        if not chunk:
+                            break
+                        self.wfile.write(chunk)
+                return
+            payload = response.render()
+            self.send_response(response.status_code)
+            self.send_header("Content-Type", response.media_type)
+            self.send_header("Content-Length", str(len(payload)))
+            for k, v in response.headers.items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(payload)
+        finally:
+            if body_file is not None:
+                body_file.close()
 
     do_GET = do_POST = do_PUT = do_DELETE = do_PATCH = do_OPTIONS = _run
 
