@@ -35,12 +35,15 @@ def test_cli_process_json(clip, tmp_path):
     proc = subprocess.run(
         [sys.executable, "-m", "vtd_tpu", "process", clip,
          "--crnn", "--input-size", "160", "--batch-size", "4",
-         "--temporal-dedup", "--out", out],
+         "--max-dets", "8", "--temporal-dedup", "--out", out],
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         capture_output=True,
         text=True,
-        timeout=600,
+        # Cold XLA compile of the fused program on a 1-core CPU host can
+        # approach 10 minutes; --max-dets 8 shrinks the program but the
+        # budget stays generous so a cache-cold CI host still passes.
+        timeout=1200,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     with open(out) as f:

@@ -32,6 +32,9 @@ def _cmd_process(argv):
                         help="keyframe: only scene-change frames hit the device")
     parser.add_argument("--temporal-dedup", action="store_true",
                         help="cross-frame text tracks in the summary")
+    parser.add_argument("--max-dets", type=int, default=64,
+                        help="per-frame detection slot count (smaller "
+                             "compiles faster; CI smoke tests use 8)")
     parser.add_argument("--out", default="", help="write JSON result here")
     parser.add_argument("--format", default="json",
                         choices=["json", "csv", "xml"])
@@ -65,6 +68,7 @@ def _cmd_process(argv):
         detector_input_size=args.input_size,
         sample_mode=args.sample_mode,
         temporal_dedup=args.temporal_dedup,
+        max_dets=args.max_dets,
         mesh=mesh,
         parallel_mode="two_stage" if args.two_stage else "fused",
     )
