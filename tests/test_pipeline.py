@@ -160,3 +160,21 @@ def test_recognizer_facade_crnn(rng):
         assert isinstance(r["text"], str)
     single = rec.recognize(crops[0])
     assert single["text"] == out[0]["text"]
+
+
+def test_min_recognition_confidence_filter(sample_video, small_pipeline):
+    """The OCR-confidence output filter: default 0.0 never filters
+    (reference parity — its hardcoded 0.95 confidence passes every
+    threshold); an impossible bar drops every transcript."""
+    base = asyncio.run(small_pipeline.process_video(sample_video, ""))
+    filtered = asyncio.run(
+        small_pipeline.process_video(
+            sample_video, "", min_recognition_confidence=1.1
+        )
+    )
+    assert filtered["status"] == "success"
+    assert filtered["summary"]["total_detections"] == 0
+    # default run unaffected by the knob's existence
+    assert base["summary"]["total_detections"] >= 0
+    n_base = sum(len(f["detections"]) for f in base["results"])
+    assert n_base == base["summary"]["total_detections"]

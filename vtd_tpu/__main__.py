@@ -21,6 +21,9 @@ def _cmd_process(argv):
     parser.add_argument("--crnn", action="store_true",
                         help="use CRNN recognizer instead of transformer")
     parser.add_argument("--threshold", type=float, default=0.5)
+    parser.add_argument("--min-rec-confidence", type=float, default=0.0,
+                        help="drop transcripts with OCR confidence below "
+                             "this (0.0 = reference parity, never filters)")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--fps", type=float, default=10.0)
     parser.add_argument("--detector", default="", help="detector checkpoint")
@@ -63,6 +66,7 @@ def _cmd_process(argv):
         recognizer_path=args.recognizer or None,
         use_transformer_ocr=not args.crnn,
         confidence_threshold=args.threshold,
+        min_recognition_confidence=args.min_rec_confidence,
         batch_size=args.batch_size,
         target_fps=args.fps,
         detector_input_size=args.input_size,

@@ -70,6 +70,7 @@ class VideoTextPipeline:
         recognizer_path: Optional[str] = None,
         use_transformer_ocr: bool = True,
         confidence_threshold: float = 0.5,
+        min_recognition_confidence: float = 0.0,
         batch_size: int = 16,
         max_dets: int = 64,
         target_fps: float = 10.0,
@@ -99,6 +100,11 @@ class VideoTextPipeline:
         self.video_processor = VideoProcessor()
 
         self.confidence_threshold = confidence_threshold
+        # Output filter on OCR confidence. Default 0.0 = reference
+        # parity: the reference's hardcoded 0.95 TrOCR confidence
+        # (text_recognizer.py:64) means its 0.5 default never filters;
+        # raising this drops low-confidence transcripts from results.
+        self.min_recognition_confidence = min_recognition_confidence
         self.batch_size = batch_size
         self.max_dets = max_dets
         self.target_fps = target_fps
@@ -415,6 +421,7 @@ class VideoTextPipeline:
     def _process_batch(
         self, frames: np.ndarray, valid_frames: np.ndarray, handles=None,
         orig_size=None, confidence_threshold: Optional[float] = None,
+        min_recognition_confidence: Optional[float] = None,
     ) -> List[List[Dict[str, Any]]]:
         """One frame batch -> per-frame lists of recognized-region dicts.
 
@@ -516,10 +523,17 @@ class VideoTextPipeline:
             "transformer" if self.use_transformer else "DBNet-CRNN",
             b,
         )
+        min_rconf = (
+            self.min_recognition_confidence
+            if min_recognition_confidence is None
+            else min_recognition_confidence
+        )
         results: List[List[Dict[str, Any]]] = [[] for _ in range(b)]
         for flat in need:
             info = meta[flat]
             text, rconf = texts[flat]
+            if rconf < min_rconf:
+                continue
             results[info["frame"]].append(
                 {
                     "bbox": info["bbox"],
@@ -558,6 +572,7 @@ class VideoTextPipeline:
         handles=None,
         orig_size=None,
         confidence_threshold: Optional[float] = None,
+        min_recognition_confidence: Optional[float] = None,
     ) -> List[List[Dict[str, Any]]]:
         """One frame batch -> per-frame lists of recognized-region dicts
         (the pipeline wire format). ``handles``: output of a prior
@@ -567,6 +582,7 @@ class VideoTextPipeline:
         return self._process_batch(
             frames, valid_frames, handles=handles, orig_size=orig_size,
             confidence_threshold=confidence_threshold,
+            min_recognition_confidence=min_recognition_confidence,
         )
 
     # ------------------------------------------------------------------
@@ -577,6 +593,7 @@ class VideoTextPipeline:
         progress_callback: Optional[Callable] = None,
         resume_file: Optional[str] = None,
         confidence_threshold: Optional[float] = None,
+        min_recognition_confidence: Optional[float] = None,
         temporal_dedup: Optional[bool] = None,
         sample_mode: Optional[str] = None,
     ) -> Dict[str, Any]:
@@ -679,6 +696,7 @@ class VideoTextPipeline:
                         batch["frames"], batch["valid"], handles=handles,
                         orig_size=batch.get("orig_size"),
                         confidence_threshold=thr,
+                        min_recognition_confidence=min_recognition_confidence,
                     )
                     if handles is not None
                     else None

@@ -403,6 +403,11 @@ def create_app(
             "confidence_threshold": float(
                 q.get("confidence_threshold") or settings.confidence_threshold
             ),
+            # OCR-confidence output filter; 0.0 = reference parity
+            # (the reference's hardcoded 0.95 confidence never filters).
+            "min_recognition_confidence": float(
+                q.get("min_recognition_confidence") or 0.0
+            ),
             "use_transformer": q.get("use_transformer", "true").lower()
             in ("true", "1"),
             "temporal_dedup": q.get("temporal_dedup", "false").lower()

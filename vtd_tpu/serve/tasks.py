@@ -139,6 +139,7 @@ def process_video_task(self, video_id: int, config: Dict[str, Any]):
         confidence_threshold = config.get(
             "confidence_threshold", settings.confidence_threshold
         )
+        min_rec_conf = float(config.get("min_recognition_confidence", 0.0))
         temporal_dedup = bool(config.get("temporal_dedup", False))
         sample_mode = config.get("sample_mode") or None
 
@@ -185,6 +186,7 @@ def process_video_task(self, video_id: int, config: Dict[str, Any]):
                 progress_callback=progress_callback,
                 resume_file=resume_file,
                 confidence_threshold=confidence_threshold,
+                min_recognition_confidence=min_rec_conf,
                 temporal_dedup=temporal_dedup,
                 sample_mode=sample_mode,
             )
