@@ -178,3 +178,27 @@ def test_min_recognition_confidence_filter(sample_video, small_pipeline):
     assert base["summary"]["total_detections"] >= 0
     n_base = sum(len(f["detections"]) for f in base["results"])
     assert n_base == base["summary"]["total_detections"]
+
+
+def test_f32_pack_above_f16_safe_input(monkeypatch, text_image):
+    """Detector input sizes past the f16 precision budget switch the
+    packed transfer's det block to float32 (coords would otherwise
+    quantize >= 0.5 px); the host parser follows the same rule."""
+    import vtd_tpu.runtime.pipeline as rp
+
+    monkeypatch.setattr(rp, "_F16_SAFE_INPUT", 64)
+    pipe = rp.VideoTextPipeline(
+        use_transformer_ocr=False,
+        batch_size=2,
+        max_dets=8,
+        detector_input_size=160,  # > patched budget -> f32 pack
+        recognizer_kwargs={"pad_batch": 16},
+    )
+    assert pipe._pack_np == np.float32
+    frames = np.stack([text_image, text_image])
+    per_frame = pipe.process_batch(frames, np.ones(2, bool))
+    assert len(per_frame) == 2
+    for dets in per_frame:
+        for d in dets:
+            x1, y1, x2, y2 = d["bbox"]
+            assert 0 <= x1 <= x2 and 0 <= y1 <= y2

@@ -80,3 +80,28 @@ def test_rate_limit_middleware_with_sqlite_store(tmp_path):
     statuses = [mw(make_req(), ok).status_code for _ in range(7)]
     assert statuses[:5] == [200] * 5
     assert statuses[5] == statuses[6] == 429
+
+
+def test_sqlite_store_gc_expired_rows(tmp_path):
+    """Expired windows are swept opportunistically — distinct keys must
+    not grow the shared table unboundedly (the in-memory store GCs;
+    the long-lived sqlite store must too)."""
+    from vtd_tpu.serve.middleware import SqliteWindowStore
+
+    store = SqliteWindowStore(str(tmp_path / "gc.db"))
+    store._GC_EVERY = 8  # force frequent sweeps for the test
+    # age out a batch of keys far in the past
+    con = store._conn()
+    import time as _t
+
+    old = _t.time() - 10_000
+    for i in range(50):
+        con.execute(
+            "INSERT OR REPLACE INTO rate_windows VALUES (?,?,?)",
+            (f"stale:{i}", 3, old),
+        )
+    con.commit()
+    for i in range(16):  # > _GC_EVERY increments triggers the sweep
+        store.incr_window(f"live:{i}", 60.0)
+    n = con.execute("SELECT COUNT(*) FROM rate_windows").fetchone()[0]
+    assert n <= 16, f"stale rows survived GC: {n}"

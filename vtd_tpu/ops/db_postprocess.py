@@ -192,12 +192,16 @@ def connected_components_scan(
     for i in range(min_rounds):  # unrolled fast path, no change checks
         # Diagonal ladders ride the middle round: by then H/V passes
         # have consolidated per-run fragments, and one diagonal ladder
-        # merges thin rotated strokes end-to-end. The pointer jump is a
-        # [H*W] random gather — 6.5 ms/batch on TPU vs 0.3 ms for the
-        # whole propagation kernel — so the fast path jumps ONCE after
-        # the last round; ladders propagate label VALUES transitively,
-        # and grouping only needs per-component label consistency, not
-        # the canonical minimum.
+        # merges thin rotated strokes end-to-end. The fast path never
+        # pointer-jumps: a [H*W] random gather costs 6.5 ms/batch on TPU
+        # vs 0.3 ms for a whole propagation round, and the scans/ladders
+        # propagate label VALUES transitively, so grouping only needs
+        # per-component label consistency, not the canonical minimum.
+        # The fixed round count means a component whose zigzag depth
+        # exceeds ``min_rounds`` can fragment into multiple labels; text
+        # blobs converge in <=3 (validated vs cv2.connectedComponents in
+        # tests), and ``cc_exact`` / ``max_rounds`` opts into the
+        # convergence-checked exact mode below.
         lbl = one_round(lbl, diag=(i == 1), jump=False)
 
     if max_rounds > min_rounds:  # opt-in exact mode
@@ -221,6 +225,7 @@ def connected_components(
     dense_iters: int = 8,
     jump_rounds: int = 4,
     backend: str = "auto",
+    exact: bool = False,
 ) -> jnp.ndarray:
     """8-connected component labels for a [H, W] bool map.
 
@@ -237,7 +242,12 @@ def connected_components(
     if backend in ("auto", "scan"):
         # Segmented-scan propagation beats iterated sweeps on every
         # backend (run-length reach per op instead of one pixel).
-        return connected_components_scan(binary)
+        # ``exact`` runs change-checked rounds to convergence (worst
+        # case for a [H, W] map is well under 32) instead of the fixed
+        # 3-round fast path.
+        return connected_components_scan(
+            binary, max_rounds=32 if exact else 3
+        )
 
     h, w = binary.shape
     hw = h * w
@@ -278,7 +288,7 @@ def connected_components(
     jax.jit,
     static_argnames=(
         "max_dets", "min_area", "num_angles", "refine_steps", "cc_iters",
-        "work_stride", "stage",
+        "work_stride", "stage", "cc_exact",
     ),
 )
 def db_postprocess(
@@ -292,6 +302,7 @@ def db_postprocess(
     cc_iters: int = 8,
     work_stride: int = 2,
     stage: str = "full",
+    cc_exact: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """[H, W] float prob map -> fixed-size detection arrays.
 
@@ -315,7 +326,9 @@ def db_postprocess(
     )
     n = hs * ws
 
-    labels = connected_components(binary, dense_iters=cc_iters, jump_rounds=4)
+    labels = connected_components(
+        binary, dense_iters=cc_iters, jump_rounds=4, exact=cc_exact
+    )
     if stage == "cc":  # profiling cut point (tools/profile_device.py)
         return {"labels": labels}
 

@@ -97,6 +97,10 @@ class TwoStagePipeline:
         model = detector.model
         out_h, out_w = crop_hw
         k = max_dets
+        # Same pack-precision rule as the fused program: f16 coords are
+        # exact to ~0.25 px at the 640 map scale but quantize >=0.5 px
+        # past 1024, so large inputs switch the det block to f32.
+        pack_dt = jnp.float32 if size > 1024 else jnp.float16
 
         @jax.jit
         def stage_a(variables, frames_u8, thresh):
@@ -127,7 +131,7 @@ class TwoStagePipeline:
             )
             crops = crops.reshape(b * k, out_h, out_w, 3)
             if use_transformer:
-                det16 = det14.astype(jnp.float16)
+                det16 = det14.astype(pack_dt)
                 det_bytes = jax.lax.bitcast_convert_type(
                     det16, jnp.uint8
                 ).reshape(b, k, -1)
@@ -147,7 +151,7 @@ class TwoStagePipeline:
                 ctc = ctc_greedy_decode_arrays(crnn.apply(variables, crops))
                 det16 = jnp.concatenate(
                     [det14, ctc["confidence"].reshape(b, k, 1)], axis=-1
-                ).astype(jnp.float16)
+                ).astype(pack_dt)
                 det_bytes = jax.lax.bitcast_convert_type(
                     det16, jnp.uint8
                 ).reshape(b, k, -1)

@@ -41,6 +41,11 @@ from .recognizer import TextRecognizer
 
 logger = logging.getLogger(__name__)
 
+# Largest detector input size whose pixel coordinates survive the f16
+# transfer pack exactly enough (quantum < 0.5 px); beyond it the det
+# block packs as f32.
+_F16_SAFE_INPUT = 1024
+
 
 def _dedup_summary(all_results: List[Dict[str, Any]]) -> Dict[str, Any]:
     """Temporal-dedup summary fields: cross-frame text tracks (same
@@ -150,6 +155,16 @@ class VideoTextPipeline:
         else:
             self.crop_hw = (32, 128)
             self.rec_chunk = rec_chunk or self.recognizer.pad_batch
+        # Detection coords ride the packed uint8 transfer bitcast from
+        # float16, exact to ~0.25 px at the default 640 map scale; at
+        # input sizes >1024 the f16 quantum reaches >=0.5 px, so the det
+        # block silently switches to float32 (doubles only the ~30-byte
+        # det block per slot — the ids tail dominates the pack anyway).
+        self._pack_np = (
+            np.float32
+            if detector_input_size > _F16_SAFE_INPUT
+            else np.float16
+        )
         self._thr_cache: Dict[float, Any] = {}
         # Multi-chip inference: a jax.sharding.Mesh data-shards every
         # frame batch over the mesh's data axis (SURVEY §2.3 row 1 —
@@ -273,8 +288,9 @@ class VideoTextPipeline:
                 post["scores"][..., None],
                 post["valid"].astype(jnp.float32)[..., None],
             ]
+            pack_dt = jnp.dtype(self._pack_np)
             if transformer_norm:
-                det16 = jnp.concatenate(det_cols, -1).astype(jnp.float16)
+                det16 = jnp.concatenate(det_cols, -1).astype(pack_dt)
                 det_bytes = jax.lax.bitcast_convert_type(
                     det16, jnp.uint8
                 ).reshape(b, max_dets, -1)
@@ -286,7 +302,7 @@ class VideoTextPipeline:
             logits = crnn.apply(rec_variables, crops)
             ctc = ctc_greedy_decode_arrays(logits)
             det_cols.append(ctc["confidence"].reshape(b, max_dets, 1))
-            det16 = jnp.concatenate(det_cols, -1).astype(jnp.float16)
+            det16 = jnp.concatenate(det_cols, -1).astype(pack_dt)
             det_bytes = jax.lax.bitcast_convert_type(
                 det16, jnp.uint8
             ).reshape(b, max_dets, -1)
@@ -448,9 +464,10 @@ class VideoTextPipeline:
         )
         out_pack = np.asarray(jax.device_get(out_pack))
         nf16 = 14 if self.use_transformer else 15
+        itemsize = np.dtype(self._pack_np).itemsize
         det16 = np.ascontiguousarray(
-            out_pack[..., : 2 * nf16]
-        ).view(np.float16).astype(np.float32)
+            out_pack[..., : itemsize * nf16]
+        ).view(self._pack_np).astype(np.float32)
         boxes = det16[..., 0:4]
         polys = det16[..., 4:12].reshape(b, self.max_dets, 4, 2)
         scores = det16[..., 12]
@@ -458,7 +475,7 @@ class VideoTextPipeline:
         ctc = None
         if not self.use_transformer:  # CTC rode the same pack
             conf = det16[..., 14].reshape(-1)
-            ids = out_pack[..., 2 * nf16:].reshape(
+            ids = out_pack[..., itemsize * nf16:].reshape(
                 b * self.max_dets, -1
             ).astype(np.int32)
             prev = np.concatenate(

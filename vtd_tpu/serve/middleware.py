@@ -72,9 +72,15 @@ class SqliteWindowStore:
     matching the reference's Redis-down behavior.
     """
 
+    # Expired rows are swept opportunistically every N increments
+    # (mirrors InMemoryWindowStore's GC) so distinct (ip, path) keys
+    # don't grow the table unboundedly on a long-lived shared store.
+    _GC_EVERY = 256
+
     def __init__(self, path: str):
         self.path = path
         self._local = threading.local()
+        self._ops = 0
         # create schema eagerly so incr_window never races CREATE
         con = self._conn()
         con.execute(
@@ -114,6 +120,14 @@ class SqliteWindowStore:
                 "INSERT OR REPLACE INTO rate_windows VALUES (?,?,?)",
                 (key, count, start),
             )
+            self._ops += 1
+            if self._ops % self._GC_EVERY == 0:
+                # Any window older than 2x the largest configured
+                # window is dead for every limit class.
+                con.execute(
+                    "DELETE FROM rate_windows WHERE start < ?",
+                    (now - 2 * max(window_s, 60.0),),
+                )
             con.execute("COMMIT")
         except BaseException:
             con.execute("ROLLBACK")

@@ -25,8 +25,11 @@ Design: the parent DISPATCHES each task to a specific idle child's own
 inbox queue and records the assignment first, so even a child that dies
 before flushing any event (os._exit, OOM kill) leaves an attributable
 in-flight task. Events ("started" | "state" | "done" | "recycled") ride
-one shared queue back; revocation flags are shared through a Manager
-dict the child polls in ``is_revoked``.
+a PER-CHILD SimpleQueue back — a child SIGKILLed mid-``put`` can only
+tear its own channel, never stall event delivery from its siblings
+(the failure mode that pushed Celery onto billiard instead of raw
+kills on a shared mp.Queue). Revocation flags are shared through a
+Manager dict the child polls in ``is_revoked``.
 """
 from __future__ import annotations
 
@@ -118,6 +121,7 @@ def _jsonable(value):
 class _Child:
     proc: Any
     inbox: Any
+    event_q: Any
 
 
 class ProcessWorkerPool:
@@ -140,7 +144,6 @@ class ProcessWorkerPool:
         self._ctx = ctx
         self._manager = ctx.Manager()
         self.revoked = self._manager.dict()
-        self._event_q = ctx.Queue()
         self._pending: "_queue.Queue" = _queue.Queue()
         self._children: Dict[int, _Child] = {}
         self._assigned: Dict[int, str] = {}  # pid -> in-flight task id
@@ -156,17 +159,20 @@ class ProcessWorkerPool:
     # ------------------------------------------------------------------
     def _spawn_child(self):
         inbox = self._ctx.Queue()
+        # Per-child event channel: killing this child can only tear
+        # THIS pipe; siblings keep delivering events.
+        event_q = self._ctx.SimpleQueue()
         p = self._ctx.Process(
             target=child_main,
             args=(
-                inbox, self._event_q, self.revoked,
+                inbox, event_q, self.revoked,
                 self._tasks_module, self._max_tasks,
             ),
             daemon=True,
         )
         p.start()
         with self._lock:
-            self._children[p.pid] = _Child(p, inbox)
+            self._children[p.pid] = _Child(p, inbox, event_q)
 
     def submit(self, rec) -> None:
         self._pending.put(rec)
@@ -253,44 +259,62 @@ class ProcessWorkerPool:
             _safe(hook, rec)
 
     def _event_pump(self):
-        q = self._backend
         while not self._stop.is_set():
-            try:
-                event = self._event_q.get(timeout=0.2)
-            except Exception:  # queue.Empty or manager teardown
-                continue
-            kind = event[0]
-            if kind == "started":
-                _, tid, pid = event
-                rec = q.records.get(tid)
-                self._started_at[tid] = time.time()
-                if rec is not None:
-                    rec.state = "STARTED"
-                    rec.started_at = time.time()
-                    for hook in q.on_prerun:
-                        _safe(hook, rec)
-            elif kind == "state":
-                _, tid, state, meta = event
-                rec = q.records.get(tid)
-                if rec is not None and rec.state not in (
-                    "SUCCESS", "FAILURE", "REVOKED"
-                ):
-                    rec.state = state
-                    rec.info = meta
-            elif kind == "done":
-                _, tid, state, result, tb = event
-                with self._lock:
-                    for pid, assigned in list(self._assigned.items()):
-                        if assigned == tid:
-                            del self._assigned[pid]
-                rec = q.records.get(tid)
-                if rec is not None and rec.state not in (
-                    "SUCCESS", "FAILURE", "REVOKED"
-                ):
-                    self._finish(rec, state, result, tb)
-            elif kind == "recycled":
-                _, pid, _ = event
-                self._respawn(pid)
+            with self._lock:
+                channels = [c.event_q for c in self._children.values()]
+            got = False
+            for eq in channels:
+                got |= self._drain_channel(eq)
+            if not got:
+                time.sleep(0.02)
+
+    def _drain_channel(self, eq) -> bool:
+        """Read every ready event off one child's channel. A channel a
+        SIGKILL tore mid-write raises on get/unpickle; stop reading it —
+        only that child's remaining events are lost."""
+        got = False
+        try:
+            while not eq.empty():
+                self._handle_event(eq.get())
+                got = True
+        except Exception:
+            pass
+        return got
+
+    def _handle_event(self, event):
+        q = self._backend
+        kind = event[0]
+        if kind == "started":
+            _, tid, pid = event
+            rec = q.records.get(tid)
+            self._started_at[tid] = time.time()
+            if rec is not None:
+                rec.state = "STARTED"
+                rec.started_at = time.time()
+                for hook in q.on_prerun:
+                    _safe(hook, rec)
+        elif kind == "state":
+            _, tid, state, meta = event
+            rec = q.records.get(tid)
+            if rec is not None and rec.state not in (
+                "SUCCESS", "FAILURE", "REVOKED"
+            ):
+                rec.state = state
+                rec.info = meta
+        elif kind == "done":
+            _, tid, state, result, tb = event
+            with self._lock:
+                for pid, assigned in list(self._assigned.items()):
+                    if assigned == tid:
+                        del self._assigned[pid]
+            rec = q.records.get(tid)
+            if rec is not None and rec.state not in (
+                "SUCCESS", "FAILURE", "REVOKED"
+            ):
+                self._finish(rec, state, result, tb)
+        elif kind == "recycled":
+            _, pid, _ = event
+            self._respawn(pid)
 
     def _respawn(self, pid: int):
         with self._lock:
@@ -315,6 +339,9 @@ class ProcessWorkerPool:
             child.proc.kill()
             child.proc.join(timeout=5)
             logger.warning("killed worker %s: %s", pid, reason)
+        if child is not None:
+            # A "done" may have raced the kill; deliver what survived.
+            self._drain_channel(child.event_q)
         rec = self._backend.records.get(task_id)
         if rec is not None and rec.state not in (
             "SUCCESS", "FAILURE", "REVOKED"
@@ -344,6 +371,9 @@ class ProcessWorkerPool:
                     if not c.proc.is_alive()
                 ]
             for pid, c in dead:
+                # Deliver any events flushed before death ("done" etc.)
+                # so a completed task isn't misreported as worker-lost.
+                self._drain_channel(c.event_q)
                 with self._lock:
                     if pid not in self._children:
                         continue  # already handled by recycle/kill paths

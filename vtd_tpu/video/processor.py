@@ -149,6 +149,18 @@ class VideoProcessor:
             start, end = src_range if src_range else (0, None)
             if start:
                 cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+                # Seeks land on the nearest keyframe for some codecs /
+                # VFR streams; a shifted position would make parallel
+                # segment workers emit different candidate indices than
+                # a serial pass. Verify, and grab()-skip forward from an
+                # earlier decodable position on mismatch.
+                pos = int(cap.get(cv2.CAP_PROP_POS_FRAMES))
+                if pos != start:
+                    if pos > start or pos < 0:
+                        cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+                        pos = 0
+                    while pos < start and cap.grab():
+                        pos += 1
             frame_number = start
             while end is None or frame_number < end:
                 # grab() decodes but skips the colorspace-convert/copy of
