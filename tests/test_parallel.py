@@ -128,12 +128,15 @@ def test_mesh_pipeline_matches_single_device():
         for d_out, d_ref in zip(dets_out, dets_ref):
             assert d_out["text"] == d_ref["text"]
             assert d_out["bbox"] == d_ref["bbox"]
+            # The probability map is bf16 at inference (8 mantissa
+            # bits): cross-program confidences can differ by ~1 ulp,
+            # i.e. up to ~2^-8 of the value near 0.5.
             assert (
                 abs(
                     d_out["detection_confidence"]
                     - d_ref["detection_confidence"]
                 )
-                < 1e-3
+                < 5e-3
             )
 
 

@@ -121,7 +121,7 @@ class _HeadBranch(nn.Module):
         mid = self.in_channels // 4
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name,
+            dtype=jnp.float32 if train else self.dtype, name=name,
         )
         x = nn.Conv(
             mid, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
@@ -131,7 +131,13 @@ class _HeadBranch(nn.Module):
         x = _Upsample2x(mid, dtype=self.dtype, name="up1")(x)
         x = nn.relu(norm("bn2")(x))
         x = _Upsample2x(1, dtype=self.dtype, name="up2")(x)
-        return nn.sigmoid(x.astype(jnp.float32))
+        # f32 sigmoid math (bf16 saturates the logit tails), but emit
+        # the map in compute dtype at inference: the [B, 640, 640] f32
+        # output cost two 13 MB relayout copies per batch; probability
+        # values in [0, 1] lose nothing that the 0.5-ish binarization
+        # threshold or box-mean confidences can see at bf16.
+        y = nn.sigmoid(x.astype(jnp.float32))
+        return y if train else y.astype(self.dtype)
 
 
 class DBHead(nn.Module):

@@ -507,7 +507,11 @@ def db_postprocess(
     boxes = jnp.stack([bx1, by1, bx2, by2], axis=1)
 
     # ---- confidence: mean prob inside AABB via full-res integral image --
-    ii = jnp.pad(jnp.cumsum(jnp.cumsum(prob_map, 0), 1), ((1, 0), (1, 0)))
+    # The map may arrive bf16 (inference); the integral image sums up to
+    # ~h*w values, far past bf16's 8 mantissa bits — accumulate in f32
+    # or box means drift above 1.0.
+    ii = jnp.cumsum(jnp.cumsum(prob_map.astype(jnp.float32), 0), 1)
+    ii = jnp.pad(ii, ((1, 0), (1, 0)))
     ix1 = jnp.clip(bx1.astype(jnp.int32), 0, w - 1)
     iy1 = jnp.clip(by1.astype(jnp.int32), 0, h - 1)
     ix2 = jnp.clip(jnp.ceil(bx2).astype(jnp.int32), ix1 + 1, w)

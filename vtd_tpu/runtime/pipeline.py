@@ -80,6 +80,7 @@ class VideoTextPipeline:
         max_dets: int = 64,
         target_fps: float = 10.0,
         rec_chunk: Optional[int] = None,
+        rec_budget: Optional[int] = None,
         detector_input_size: int = 640,
         host_downscale: Optional[int] = None,
         transfer_format: str = "bgr",
@@ -104,6 +105,11 @@ class VideoTextPipeline:
         )
         self.video_processor = VideoProcessor()
 
+        # CRNN path: recognize only this many (valid, score)-prioritized
+        # crop slots per batch instead of all B*K. None = the default
+        # heuristic max(2*max_dets, B*K/4); pass B*K (or a huge int) to
+        # recognize every slot unconditionally.
+        self.rec_budget = rec_budget
         self.confidence_threshold = confidence_threshold
         # Output filter on OCR confidence. Default 0.0 = reference
         # parity: the reference's hardcoded 0.95 TrOCR confidence
@@ -299,8 +305,37 @@ class VideoTextPipeline:
                 return det_bytes, crops
             from ..ops.ctc import ctc_greedy_decode_arrays
 
-            logits = crnn.apply(rec_variables, crops)
-            ctc = ctc_greedy_decode_arrays(logits)
+            bk = b * max_dets
+            budget = self.rec_budget or max(2 * max_dets, bk // 4)
+            if budget < bk:
+                # Typical batches fill a handful of the B*K slots; the
+                # CRNN pass over all of them was ~1/4 of the fused
+                # program. Recognize only the top-``budget`` slots by
+                # (valid, score) priority — a [BK] top_k plus one
+                # block-gather of crops — and scatter results back into
+                # the full slot layout. Slots past the budget (only
+                # possible when >budget detections land in one batch)
+                # keep blank transcripts; bump ``rec_budget`` for
+                # text-dense video.
+                key = (
+                    post["valid"].reshape(bk).astype(jnp.float32) * 2.0
+                    + post["scores"].reshape(bk)
+                )
+                sel = jax.lax.top_k(key, budget)[1]
+                ctc_r = ctc_greedy_decode_arrays(
+                    crnn.apply(rec_variables, crops[sel])
+                )
+                t_len = ctc_r["ids"].shape[-1]
+                ctc = {
+                    "confidence": jnp.zeros((bk,), jnp.float32)
+                    .at[sel].set(ctc_r["confidence"]),
+                    "ids": jnp.zeros((bk, t_len), ctc_r["ids"].dtype)
+                    .at[sel].set(ctc_r["ids"]),
+                }
+            else:
+                ctc = ctc_greedy_decode_arrays(
+                    crnn.apply(rec_variables, crops)
+                )
             det_cols.append(ctc["confidence"].reshape(b, max_dets, 1))
             det16 = jnp.concatenate(det_cols, -1).astype(pack_dt)
             det_bytes = jax.lax.bitcast_convert_type(
