@@ -12,7 +12,20 @@ from __future__ import annotations
 import argparse
 import asyncio
 import json
+import os
 import sys
+
+# Honor JAX_PLATFORMS at the config level, not just the env level: this
+# image's sitecustomize registers the axon TPU plugin for every
+# interpreter, and plugin discovery can initialize it (dialing the
+# remote chip) even when the env var says cpu — which turns
+# "JAX_PLATFORMS=cpu python -m vtd_tpu ..." into a hang whenever the
+# chip relay is unreachable. jax.config.update pins the platform before
+# any backend is instantiated (same pattern as tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def _cmd_process(argv):
@@ -148,6 +161,12 @@ def _cmd_train_trocr(argv):
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--lr", type=float, default=6e-4)
+    parser.add_argument("--weight-decay", type=float, default=1e-4)
+    parser.add_argument("--image-size", type=int, default=64)
+    parser.add_argument(
+        "--no-augment", action="store_true",
+        help="disable on-device photometric augmentation",
+    )
     parser.add_argument("--checkpoint-dir", default="./models")
     args = parser.parse_args(argv)
 
@@ -157,7 +176,7 @@ def _cmd_train_trocr(argv):
         synthesize_trocr_crops,
     )
 
-    cfg = demo_config()
+    cfg = demo_config(image_size=args.image_size)
     images, texts = synthesize_trocr_crops(args.samples, cfg, seed=0)
     val_images, val_texts = synthesize_trocr_crops(512, cfg, seed=999)
     trainer = TrOCRTrainer(
@@ -166,10 +185,29 @@ def _cmd_train_trocr(argv):
             "max_epochs": args.epochs,
             "batch_size": args.batch_size,
             "learning_rate": args.lr,
+            "weight_decay": args.weight_decay,
+            "augment": not args.no_augment,
         },
         model_config=cfg,
     )
     out = trainer.train(images, texts, val_images, val_texts)
+    if out.get("status") == "success":
+        # The hardest held-out slice: random max-length (8-char)
+        # strings, disjoint seed — the demo-quality bar tracked in
+        # demo_models2/report.json as heldout_exact_match_random8.
+        from .models.trocr import TrOCR
+        from .train.checkpoint import restore_variables
+
+        h_img, h_txt = synthesize_trocr_crops(
+            32, cfg, seed=424242, length_range=(8, 9)
+        )
+        model = TrOCR(cfg)
+        params = restore_variables(out["best_model_path"])["params"]
+        ev = trainer.evaluate(model, params, h_img, h_txt)
+        out["heldout_exact_match_random8"] = "%d/32" % round(
+            ev["val_exact_match"] * 32
+        )
+        out["heldout_char_accuracy_random8"] = ev["val_char_accuracy"]
     print(json.dumps({k: v for k, v in out.items() if k != "history"}))
     return 0 if out.get("status") == "success" else 1
 
