@@ -69,6 +69,45 @@ def test_temporal_dedup_tracks():
     assert abs(hello["max_detection_confidence"] - 0.84) < 1e-6
 
 
+def test_dedup_summary_singleton_fragment_filter():
+    """Pins the documented deviation from the reference's exact-string
+    set dedup (pipeliine.py:194-198): in temporal-dedup mode a
+    1-character string seen in only ONE frame is treated as postprocess
+    noise and dropped from detected_texts; the same string seen twice,
+    or any >=2-char singleton, is kept."""
+    from vtd_tpu.runtime.pipeline import _dedup_summary
+
+    def fr(fn, dets):
+        return {
+            "frame_number": fn,
+            "timestamp": fn * 0.1,
+            "detections": [
+                {
+                    "bbox": bbox,
+                    "text": text,
+                    "detection_confidence": 0.8,
+                    "recognition_confidence": 0.9,
+                    "polygon": [],
+                }
+                for bbox, text in dets
+            ],
+        }
+
+    box_a, box_b, box_c = (
+        [10, 10, 60, 40], [200, 10, 260, 40], [10, 200, 90, 240],
+    )
+    summary = _dedup_summary(
+        [
+            fr(0, [(box_a, "X"), (box_b, "OK"), (box_c, "Z")]),
+            fr(1, [(box_c, "Z")]),
+        ]
+    )
+    # "X": 1-char, single frame -> dropped. "OK": >=2 chars -> kept.
+    # "Z": 1-char but tracked across two frames -> kept.
+    assert summary["detected_texts"] == ["OK", "Z"]
+    assert summary["unique_texts"] == 2
+
+
 @pytest.mark.slow
 def test_multistream_engine(tmp_path):
     import cv2

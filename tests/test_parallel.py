@@ -140,6 +140,66 @@ def test_mesh_pipeline_matches_single_device():
             )
 
 
+def test_mesh_tp_pipeline_matches_single_device():
+    """Tensor parallelism on the inference path: a (data=4, model=2)
+    mesh tp-shards wide kernels over the model axis (GSPMD inserts the
+    collectives) and must reproduce single-device detections exactly.
+    SURVEY §2.3 TP row; parallel/sharding.py rules."""
+    import jax
+    from vtd_tpu.core.mesh import MODEL_AXIS, make_mesh
+    from vtd_tpu.runtime.pipeline import VideoTextPipeline
+
+    kwargs = dict(
+        use_transformer_ocr=False, batch_size=8, max_dets=16,
+        detector_input_size=160, recognizer_kwargs={"pad_batch": 32},
+    )
+    frames = _mk_text_frames()
+    valid = np.ones(8, bool)
+
+    ref = VideoTextPipeline(**kwargs).process_batch(frames, valid)
+
+    mesh = make_mesh(n_model=2)  # 4 data x 2 model
+    tp_pipe = VideoTextPipeline(mesh=mesh, **kwargs)
+
+    # The mesh must actually tensor-shard something, or this test would
+    # silently degrade into a pure-DP rerun.
+    def _model_sharded(leaf):
+        s = getattr(leaf, "sharding", None)
+        return s is not None and any(
+            MODEL_AXIS in (ax if isinstance(ax, tuple) else (ax,))
+            for ax in (s.spec or ())
+            if ax is not None
+        )
+
+    n_tp = sum(
+        bool(_model_sharded(l))
+        for l in jax.tree_util.tree_leaves(tp_pipe.detector.variables)
+    )
+    assert n_tp > 0, "no detector parameter is sharded on the model axis"
+
+    out = tp_pipe.process_batch(frames, valid)
+    assert len(out) == len(ref) == 8
+    for dets_out, dets_ref in zip(out, ref):
+        assert len(dets_out) == len(dets_ref)
+        for d_out, d_ref in zip(dets_out, dets_ref):
+            assert d_out["text"] == d_ref["text"]
+            # TP splits channel reductions across chips, so partial-sum
+            # order differs from single-device; pixels at the
+            # binarization threshold can flip, moving a blob edge. The
+            # parity bar is the project-wide IoU >= 0.95, not bit
+            # equality (data-parallel-only stays exact, tested above).
+            a, b = d_out["bbox"], d_ref["bbox"]
+            ix = max(0, min(a[2], b[2]) - max(a[0], b[0]))
+            iy = max(0, min(a[3], b[3]) - max(a[1], b[1]))
+            inter = ix * iy
+            union = (
+                (a[2] - a[0]) * (a[3] - a[1])
+                + (b[2] - b[0]) * (b[3] - b[1])
+                - inter
+            )
+            assert union > 0 and inter / union >= 0.95, (a, b)
+
+
 def test_mesh_pipeline_batch_divisibility():
     import pytest
     from vtd_tpu.core.mesh import make_mesh

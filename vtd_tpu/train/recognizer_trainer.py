@@ -43,7 +43,8 @@ def encode_labels(
 
 
 def synthesize_text_lines(
-    n: int, seed: int = 0, height: int = 32, width: int = 128
+    n: int, seed: int = 0, height: int = 32, width: int = 128,
+    length_range: Tuple[int, int] = (3, 9),
 ) -> Tuple[np.ndarray, List[str]]:
     """Render random strings into [n, 32, 128, 3] float crops.
 
@@ -61,7 +62,7 @@ def synthesize_text_lines(
     images = np.zeros((n, height, width, 3), np.float32)
     texts = []
     for i in range(n):
-        length = int(rng.integers(3, 9))
+        length = int(rng.integers(*length_range))
         text = "".join(rng.choice(list(chars)) for _ in range(length))
         scale = float(rng.uniform(0.8, 2.2))
         thick = int(rng.integers(1, 3)) if scale < 1.5 else int(rng.integers(2, 4))

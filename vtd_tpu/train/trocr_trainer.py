@@ -61,12 +61,15 @@ def load_config(path: str) -> TrOCRConfig:
 
 
 def synthesize_trocr_crops(
-    n: int, cfg: TrOCRConfig, seed: int = 0
+    n: int, cfg: TrOCRConfig, seed: int = 0,
+    length_range: Tuple[int, int] = (3, 9),
 ) -> Tuple[np.ndarray, List[str]]:
     """[n, S, S, 3] normalized crops (mean/std 0.5, matching the
     inference ``_prepare``) + their strings."""
     s = cfg.image_size
-    images, texts = synthesize_text_lines(n, seed=seed, height=s, width=s)
+    images, texts = synthesize_text_lines(
+        n, seed=seed, height=s, width=s, length_range=length_range
+    )
     return (images - 0.5) / 0.5, texts
 
 
@@ -82,9 +85,26 @@ def encode_tokens(
     return out
 
 
-def make_trocr_train_step(model: TrOCR, tx):
+def make_trocr_train_step(model: TrOCR, tx, augment: bool = False):
+    """``augment=True`` adds on-device photometric jitter (per-sample
+    contrast/brightness plus gaussian noise, in the normalized [-1, 1]
+    space) — free on TPU and the main defense against memorizing a
+    fixed synthetic set (a 4M-param model drives CE on 16k samples to
+    ~0.003 while held-out exact match stalls)."""
+
     @jax.jit
-    def step(params, opt_state, images, tokens):
+    def step(params, opt_state, images, tokens, key):
+        if augment:
+            kc, kb, kn = jax.random.split(key, 3)
+            b = images.shape[0]
+            contrast = jax.random.uniform(
+                kc, (b, 1, 1, 1), minval=0.75, maxval=1.25
+            )
+            brightness = jax.random.uniform(
+                kb, (b, 1, 1, 1), minval=-0.25, maxval=0.25
+            )
+            noise = 0.06 * jax.random.normal(kn, images.shape)
+            images = images * contrast + brightness + noise
         inputs, targets = tokens[:, :-1], tokens[:, 1:]
         mask = (targets != CharTokenizer.PAD).astype(jnp.float32)
 
@@ -142,7 +162,9 @@ class TrOCRTrainer:
                 sched, weight_decay=float(cfg.get("weight_decay", 1e-4))
             )
             opt_state = tx.init(params)
-            step = make_trocr_train_step(model, tx)
+            augment = bool(cfg.get("augment", True))
+            step = make_trocr_train_step(model, tx, augment=augment)
+            aug_key = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 7)
 
             tokens = encode_tokens(texts, self.tokenizer, mc.max_len)
             n = len(images)
@@ -153,9 +175,11 @@ class TrOCRTrainer:
                 losses = []
                 for i in range(0, n - batch_size + 1, batch_size):
                     sel = perm[i:i + batch_size]
+                    aug_key, k = jax.random.split(aug_key)
                     params, opt_state, loss = step(
                         params, opt_state,
                         jnp.asarray(images[sel]), jnp.asarray(tokens[sel]),
+                        k,
                     )
                     losses.append(float(loss))
                 rec = {
