@@ -180,6 +180,33 @@ def test_min_recognition_confidence_filter(sample_video, small_pipeline):
     assert n_base == base["summary"]["total_detections"]
 
 
+def test_rec_budget_matches_full_recognition(text_image):
+    """The CRNN recognition budget (top-(valid, score) crop slots only)
+    must be output-invisible whenever actual detections fit within the
+    budget: transcripts equal the recognize-every-slot program's."""
+    from vtd_tpu.runtime import VideoTextPipeline
+
+    kwargs = dict(
+        use_transformer_ocr=False, batch_size=4, max_dets=16,
+        detector_input_size=160, recognizer_kwargs={"pad_batch": 32},
+    )
+    frames = np.stack([text_image] * 4)
+    valid = np.ones(4, bool)
+
+    full = VideoTextPipeline(rec_budget=4 * 16, **kwargs)
+    out_full = full.process_batch(frames, valid)
+    budgeted = VideoTextPipeline(rec_budget=8, **kwargs)
+    out_b = budgeted.process_batch(frames, valid)
+
+    n_dets = sum(len(d) for d in out_full)
+    assert n_dets <= 8, "fixture grew text-denser than the test budget"
+    assert [
+        [(d["text"], d["bbox"]) for d in dets] for dets in out_b
+    ] == [
+        [(d["text"], d["bbox"]) for d in dets] for dets in out_full
+    ]
+
+
 def test_f32_pack_above_f16_safe_input(monkeypatch, text_image):
     """Detector input sizes past the f16 precision budget switch the
     packed transfer's det block to float32 (coords would otherwise
