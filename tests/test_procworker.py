@@ -84,7 +84,11 @@ def test_revoke_terminate_kills_running_task(q):
 def test_max_tasks_per_child_recycles():
     q = make_queue(max_tasks_per_child=2)
     try:
-        pids = [q.tasks["whoami"].delay().get(timeout=60) for _ in range(4)]
+        # 4 sequential results with a pool recycle after every 2nd task:
+        # each recycle is a full interpreter spawn (+imports), which can
+        # take tens of seconds on a loaded 1-core CI host — budget each
+        # get generously or the test flakes under a parallel suite.
+        pids = [q.tasks["whoami"].delay().get(timeout=180) for _ in range(4)]
         assert len(set(pids)) >= 2, pids
     finally:
         q.shutdown()
