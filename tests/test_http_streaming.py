@@ -93,6 +93,72 @@ def test_stream_parser_lf_only_framing():
     assert files["f"][1].read() == b"DATA123"
 
 
+def test_lf_headers_with_crlfcrlf_in_body():
+    """A bare-LF-headed part whose BINARY body contains CRLFCRLF must
+    split headers at the earliest terminator (the LF one), not at the
+    CRLF sequence inside the payload."""
+    payload = b"front\r\n\r\nback"
+    body = (
+        b"--bnd\nContent-Disposition: form-data; name=\"f\"; "
+        b"filename=\"a\"\n\n" + payload + b"\n--bnd--\n"
+    )
+    _, files = parse_multipart_stream(
+        io.BytesIO(body), "multipart/form-data; boundary=bnd"
+    )
+    assert files["f"][1].read() == payload
+
+
+def test_missing_boundary_body_bounded_ram():
+    """A body that never contains the declared boundary must stream
+    through O(chunk) RAM, not accumulate to O(Content-Length)."""
+
+    class _Counting:
+        def __init__(self, total):
+            self.left = total
+
+        def read(self, n=-1):
+            take = min(self.left, n if n and n > 0 else 65536)
+            self.left -= take
+            return b"x" * take
+
+    import tracemalloc
+
+    tracemalloc.start()
+    fields, files = parse_multipart_stream(
+        _Counting(64 * 1024 * 1024),
+        "multipart/form-data; boundary=neverappears",
+    )
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert fields == {} and files == {}
+    assert peak < 8 * 1024 * 1024, f"peak {peak/1e6:.0f} MB"
+
+
+def test_unterminated_part_headers_rejected():
+    """Part headers that never terminate are a 400, not an unbounded
+    RAM buffer."""
+    from vtd_tpu.serve.http import HTTPException
+
+    class _HeaderFlood:
+        def __init__(self, total):
+            self.sent_preamble = False
+            self.left = total
+
+        def read(self, n=-1):
+            if not self.sent_preamble:
+                self.sent_preamble = True
+                return b"--bnd\r\nContent-Disposition: form-data"
+            take = min(self.left, n if n and n > 0 else 65536)
+            self.left -= take
+            return b"a" * take
+
+    with pytest.raises(HTTPException):
+        parse_multipart_stream(
+            _HeaderFlood(16 * 1024 * 1024),
+            "multipart/form-data; boundary=bnd",
+        )
+
+
 def test_request_files_and_form_cached_single_parse(tmp_path):
     payload = b"\x00\x01binary\r\n\r\nstuff"
     body, ctype = _mp_body(

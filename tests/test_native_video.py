@@ -53,6 +53,34 @@ def test_probe_matches_cv2(clip, lib_ok):
     r.close()
 
 
+def test_odd_source_dims_i420_safe(tmp_path, lib_ok):
+    """Odd-dimension sources must not overflow the I420 buffers: the
+    reader rounds output dims down to even (I420 plane math needs it)
+    and decodes cleanly at raw source size (host_downscale unset)."""
+    path = str(tmp_path / "odd.mp4")
+    w, h = 321, 181  # both odd
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (w, h)
+    )
+    for i in range(12):
+        frame = np.full((h, w, 3), 200, np.uint8)
+        cv2.putText(frame, str(i), (20, 90), cv2.FONT_HERSHEY_SIMPLEX,
+                    2, (0, 0, 0), 3)
+        writer.write(frame)
+    writer.release()
+
+    r = native_video.open_video(path, (w, h))  # raw dims, as the CLI does
+    if r is None:
+        pytest.skip("container unsupported by native decoder")
+    assert r.out_w % 2 == 0 and r.out_h % 2 == 0
+    frames, idx = r.read_batch(1, 12)
+    r.close()
+    assert len(frames) > 0
+    assert frames.shape[1:] == (r.out_h * 3 // 2, r.out_w)
+    # Y plane of a ~uniform 200-gray frame should be bright everywhere
+    assert frames[0][: r.out_h].mean() > 150
+
+
 def test_stride_indices_and_eof(clip, lib_ok):
     r = native_video.open_video(clip, (320, 320))
     seen = []

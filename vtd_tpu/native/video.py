@@ -120,6 +120,14 @@ class NativeVideoReader:
         self.out_w, self.out_h = out_size
         self.fmt = 1 if pixel_format == "bgr" else 0
         self.pixel_format = pixel_format
+        if self.fmt == 0:
+            # I420 plane math (chroma stride w/2, V offset w*h*5/4, buffer
+            # h*3/2 rows) requires even dims; an odd source dimension
+            # passed straight through (host_downscale unset) would make
+            # sws_scale write past the numpy buffer. Losing <=1 px of
+            # border is harmless; callers must read back out_w/out_h.
+            self.out_w &= ~1
+            self.out_h &= ~1
         self._hot = 0
         fps = ctypes.c_double()
         nframes = ctypes.c_int64()

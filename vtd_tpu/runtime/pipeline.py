@@ -108,8 +108,17 @@ class VideoTextPipeline:
         # CRNN path: recognize only this many (valid, score)-prioritized
         # crop slots per batch instead of all B*K. None = the default
         # heuristic max(2*max_dets, B*K/4); pass B*K (or a huge int) to
-        # recognize every slot unconditionally.
+        # recognize every slot unconditionally. Batches whose valid
+        # detections exceed the budget emit the extras with empty
+        # transcripts and log a warning (see _process_batch).
+        if rec_budget is not None and parallel_mode == "two_stage":
+            raise ValueError(
+                "rec_budget is not supported with parallel_mode="
+                "'two_stage' (the two-stage runner recognizes every "
+                "slot); drop the knob or use the fused mode"
+            )
         self.rec_budget = rec_budget
+        self._rec_budget_warned = False
         self.confidence_threshold = confidence_threshold
         # Output filter on OCR confidence. Default 0.0 = reference
         # parity: the reference's hardcoded 0.95 TrOCR confidence
@@ -243,12 +252,10 @@ class VideoTextPipeline:
         """One fused device program per frame batch.
 
         detect -> postprocess -> crop every slot -> (CRNN path only)
-        recognize every slot + CTC-reduce, all inside a single jit: one
-        dispatch and one small host transfer per batch. Recognizing all
-        B*K crop slots unconditionally costs ~milliseconds of MXU time
-        and removes every host-side decision from the hot loop (the
-        per-crop Python loop is the reference's biggest cost,
-        SURVEY.md §3.3).
+        recognize the top-``rec_budget`` slots + CTC-reduce, all inside
+        a single jit: one dispatch and one small host transfer per
+        batch, zero host-side decisions in the hot loop (the per-crop
+        Python loop is the reference's biggest cost, SURVEY.md §3.3).
         """
         model = self.detector.model
         size = self.detector.input_size
@@ -306,7 +313,7 @@ class VideoTextPipeline:
             from ..ops.ctc import ctc_greedy_decode_arrays
 
             bk = b * max_dets
-            budget = self.rec_budget or max(2 * max_dets, bk // 4)
+            budget = self._effective_rec_budget(b)
             if budget < bk:
                 # Typical batches fill a handful of the B*K slots; the
                 # CRNN pass over all of them was ~1/4 of the fused
@@ -348,6 +355,13 @@ class VideoTextPipeline:
             return (out_pack,)
 
         return run
+
+    def _effective_rec_budget(self, b: int) -> int:
+        """Recognized crop slots per b-frame batch on the CRNN path —
+        the single source of truth for the fused program AND the
+        host-side over-budget warning."""
+        bk = b * self.max_dets
+        return min(bk, self.rec_budget or max(2 * self.max_dets, bk // 4))
 
     def _build_recognize_sel(self):
         if self.use_transformer:
@@ -547,7 +561,20 @@ class VideoTextPipeline:
 
         texts: Dict[int, Any] = {}
         if ctc is not None:
-            # CRNN path: every slot already recognized on device.
+            # CRNN path: slots beyond the recognition budget carry blank
+            # transcripts — surface the clipping instead of silently
+            # emitting text='' detections on text-dense batches.
+            n_valid = int(np.count_nonzero(valid))
+            budget = self._effective_rec_budget(b)
+            if n_valid > budget and not self._rec_budget_warned:
+                self._rec_budget_warned = True
+                logger.warning(
+                    "batch has %d valid detections but the recognition "
+                    "budget is %d: extras get empty transcripts. Raise "
+                    "rec_budget (up to batch_size*max_dets) for "
+                    "text-dense video.",
+                    n_valid, budget,
+                )
             from ..ops.ctc import ids_to_text
 
             if need:

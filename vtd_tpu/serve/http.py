@@ -213,7 +213,12 @@ def parse_multipart_stream(
         return True
 
     # First delimiter line (no preceding CRLF required at stream start).
+    # Preamble bytes before it are discardable — keep only a tail that
+    # could be a boundary prefix, so a body that never contains the
+    # declared boundary costs O(_CHUNK) RAM, not O(Content-Length).
     while boundary not in buf:
+        if len(buf) > len(boundary):
+            buf = buf[-(len(boundary) - 1):]
         if not fill():
             return fields, files
     buf = buf[buf.index(boundary) + len(boundary):]
@@ -229,11 +234,22 @@ def parse_multipart_stream(
             buf = buf[2:]
         elif buf.startswith(b"\n"):
             buf = buf[1:]
-        # Part headers.
+        # Part headers (bounded: a part whose header block never
+        # terminates must not buffer the whole body in RAM).
         while b"\r\n\r\n" not in buf and b"\n\n" not in buf:
+            if len(buf) > 65536:
+                raise HTTPException(400, "Malformed multipart body")
             if not fill():
                 return fields, files
-        sep = b"\r\n\r\n" if b"\r\n\r\n" in buf else b"\n\n"
+        # Earliest terminator wins: preferring CRLF over LF would let a
+        # CRLFCRLF inside a binary *body* hijack the header split of a
+        # bare-LF-headed part.
+        i_crlf = buf.find(b"\r\n\r\n")
+        i_lf = buf.find(b"\n\n")
+        if i_crlf >= 0 and (i_lf < 0 or i_crlf < i_lf):
+            sep = b"\r\n\r\n"
+        else:
+            sep = b"\n\n"
         raw_headers, buf = buf.split(sep, 1)
         disp = ""
         for line in raw_headers.splitlines():

@@ -81,6 +81,7 @@ class SqliteWindowStore:
         self.path = path
         self._local = threading.local()
         self._ops = 0
+        self._max_window = 60.0  # largest window this store has served
         # create schema eagerly so incr_window never races CREATE
         con = self._conn()
         con.execute(
@@ -121,12 +122,16 @@ class SqliteWindowStore:
                 (key, count, start),
             )
             self._ops += 1
+            self._max_window = max(self._max_window, window_s, 60.0)
             if self._ops % self._GC_EVERY == 0:
-                # Any window older than 2x the largest configured
-                # window is dead for every limit class.
+                # GC against the largest window THIS store has served —
+                # sweeping with the current call's window would delete
+                # live counters of longer-window limit classes sharing
+                # the table (e.g. an hourly quota next to per-minute
+                # limits).
                 con.execute(
                     "DELETE FROM rate_windows WHERE start < ?",
-                    (now - 2 * max(window_s, 60.0),),
+                    (now - 2 * self._max_window,),
                 )
             con.execute("COMMIT")
         except BaseException:

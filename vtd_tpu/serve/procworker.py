@@ -25,11 +25,13 @@ Design: the parent DISPATCHES each task to a specific idle child's own
 inbox queue and records the assignment first, so even a child that dies
 before flushing any event (os._exit, OOM kill) leaves an attributable
 in-flight task. Events ("started" | "state" | "done" | "recycled") ride
-a PER-CHILD SimpleQueue back — a child SIGKILLed mid-``put`` can only
-tear its own channel, never stall event delivery from its siblings
-(the failure mode that pushed Celery onto billiard instead of raw
-kills on a shared mp.Queue). Revocation flags are shared through a
-Manager dict the child polls in ``is_revoked``.
+a PER-CHILD one-way pipe back (parent write-end closed, so a dead
+child reads as EOF, never a block) — a child SIGKILLed mid-``send``
+can only tear its own channel, never stall event delivery from its
+siblings (the failure mode that pushed Celery onto billiard instead
+of raw kills on a shared mp.Queue). Drains are serialized per child.
+Revocation flags are shared through a Manager dict the child polls in
+``is_revoked``.
 """
 from __future__ import annotations
 
@@ -48,22 +50,22 @@ logger = logging.getLogger(__name__)
 
 class _ChildTaskContext:
     """Task ``self`` inside a child process: state updates flow to the
-    parent over the event queue; revocation flags come from the shared
+    parent over the event pipe; revocation flags come from the shared
     dict."""
 
-    def __init__(self, task_id: str, event_q, revoked):
+    def __init__(self, task_id: str, event_w, revoked):
         self.id = task_id
-        self._event_q = event_q
+        self._event_w = event_w
         self._revoked = revoked
 
     def update_state(self, state: str = "PROGRESS", meta: Any = None):
-        self._event_q.put(("state", self.id, state, meta))
+        self._event_w.send(("state", self.id, state, meta))
 
     def is_revoked(self) -> bool:
         return bool(self._revoked.get(self.id))
 
 
-def child_main(inbox, event_q, revoked, tasks_module: str, max_tasks: int):
+def child_main(inbox, event_w, revoked, tasks_module: str, max_tasks: int):
     """Child process loop: import the task module (registering its tasks
     on the child's own module-level queue), then drain the inbox.
     Top-level so spawn can import it."""
@@ -87,8 +89,8 @@ def child_main(inbox, event_q, revoked, tasks_module: str, max_tasks: int):
         if payload is None:
             return
         tid = payload["id"]
-        event_q.put(("started", tid, os.getpid()))
-        ctx = _ChildTaskContext(tid, event_q, revoked)
+        event_w.send(("started", tid, os.getpid()))
+        ctx = _ChildTaskContext(tid, event_w, revoked)
         task = registry.get(payload["name"])
         try:
             if task is None:
@@ -98,13 +100,13 @@ def child_main(inbox, event_q, revoked, tasks_module: str, max_tasks: int):
                 **payload.get("kwargs", {}),
             )
             state = "REVOKED" if ctx.is_revoked() else "SUCCESS"
-            event_q.put(("done", tid, state, _jsonable(result), ""))
+            event_w.send(("done", tid, state, _jsonable(result), ""))
         except InterruptedError:
-            event_q.put(("done", tid, "REVOKED", None, ""))
+            event_w.send(("done", tid, "REVOKED", None, ""))
         except Exception as e:  # noqa: BLE001 — report, keep draining
-            event_q.put(("done", tid, "FAILURE", str(e), _tb.format_exc()))
+            event_w.send(("done", tid, "FAILURE", str(e), _tb.format_exc()))
         done += 1
-    event_q.put(("recycled", os.getpid(), None))
+    event_w.send(("recycled", os.getpid(), None))
 
 
 def _jsonable(value):
@@ -121,7 +123,11 @@ def _jsonable(value):
 class _Child:
     proc: Any
     inbox: Any
-    event_q: Any
+    event_r: Any  # read end of the child's event pipe
+    # Serializes drains: the event pump, the monitor loop, and kill
+    # paths may all try to read this child's events — two concurrent
+    # readers on one Connection can interleave recv()s and block.
+    drain_lock: Any
 
 
 class ProcessWorkerPool:
@@ -160,19 +166,26 @@ class ProcessWorkerPool:
     def _spawn_child(self):
         inbox = self._ctx.Queue()
         # Per-child event channel: killing this child can only tear
-        # THIS pipe; siblings keep delivering events.
-        event_q = self._ctx.SimpleQueue()
+        # THIS pipe; siblings keep delivering events. A raw one-way
+        # Pipe (not SimpleQueue) with the parent's write end CLOSED
+        # makes a dead child observable as EOFError on recv — a
+        # SimpleQueue keeps a parent-side writer open forever, so a
+        # recv racing a SIGKILL mid-put would block instead of raise.
+        event_r, event_w = self._ctx.Pipe(duplex=False)
         p = self._ctx.Process(
             target=child_main,
             args=(
-                inbox, event_q, self.revoked,
+                inbox, event_w, self.revoked,
                 self._tasks_module, self._max_tasks,
             ),
             daemon=True,
         )
         p.start()
+        event_w.close()  # child holds the only writer now
         with self._lock:
-            self._children[p.pid] = _Child(p, inbox, event_q)
+            self._children[p.pid] = _Child(
+                p, inbox, event_r, threading.Lock()
+            )
 
     def submit(self, rec) -> None:
         self._pending.put(rec)
@@ -261,24 +274,27 @@ class ProcessWorkerPool:
     def _event_pump(self):
         while not self._stop.is_set():
             with self._lock:
-                channels = [c.event_q for c in self._children.values()]
+                children = list(self._children.values())
             got = False
-            for eq in channels:
-                got |= self._drain_channel(eq)
+            for child in children:
+                got |= self._drain_channel(child)
             if not got:
                 time.sleep(0.02)
 
-    def _drain_channel(self, eq) -> bool:
-        """Read every ready event off one child's channel. A channel a
-        SIGKILL tore mid-write raises on get/unpickle; stop reading it —
-        only that child's remaining events are lost."""
+    def _drain_channel(self, child) -> bool:
+        """Read every ready event off one child's pipe. The per-child
+        lock keeps this single-consumer (pump vs monitor/kill). A dead
+        child's pipe raises EOFError on recv (its only writer closed);
+        a frame a SIGKILL tore mid-send raises on recv/unpickle — stop
+        reading, only that child's remaining events are lost."""
         got = False
-        try:
-            while not eq.empty():
-                self._handle_event(eq.get())
-                got = True
-        except Exception:
-            pass
+        with child.drain_lock:
+            try:
+                while child.event_r.poll(0):
+                    self._handle_event(child.event_r.recv())
+                    got = True
+            except Exception:
+                pass
         return got
 
     def _handle_event(self, event):
@@ -341,7 +357,7 @@ class ProcessWorkerPool:
             logger.warning("killed worker %s: %s", pid, reason)
         if child is not None:
             # A "done" may have raced the kill; deliver what survived.
-            self._drain_channel(child.event_q)
+            self._drain_channel(child)
         rec = self._backend.records.get(task_id)
         if rec is not None and rec.state not in (
             "SUCCESS", "FAILURE", "REVOKED"
@@ -373,7 +389,7 @@ class ProcessWorkerPool:
             for pid, c in dead:
                 # Deliver any events flushed before death ("done" etc.)
                 # so a completed task isn't misreported as worker-lost.
-                self._drain_channel(c.event_q)
+                self._drain_channel(c)
                 with self._lock:
                     if pid not in self._children:
                         continue  # already handled by recycle/kill paths

@@ -341,6 +341,11 @@ class VideoProcessor:
                 if resize_wh is not None
                 else (native_info["src_w"], native_info["src_h"])
             )
+            if pixel_format == "yuv420":
+                # I420 needs even dims (the reader enforces the same —
+                # keep this copy in sync or y_rows below disagrees with
+                # the actual frame buffers by one row on odd sources).
+                out_size = (out_size[0] & ~1, out_size[1] & ~1)
             native_orig = (native_info["src_h"], native_info["src_w"])
             y_rows = out_size[1]  # Y-plane rows in an I420-packed frame
 
