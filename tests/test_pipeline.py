@@ -207,6 +207,38 @@ def test_rec_budget_matches_full_recognition(text_image):
     ]
 
 
+def test_rec_budget_padding_frames_do_not_consume_slots(text_image):
+    """Batch tails are padded with duplicates of the last real frame;
+    their (masked-invalid) detections must not occupy recognition-budget
+    slots that real detections need."""
+    from vtd_tpu.runtime import VideoTextPipeline
+
+    kwargs = dict(
+        use_transformer_ocr=False, batch_size=4, max_dets=16,
+        detector_input_size=160, recognizer_kwargs={"pad_batch": 32},
+    )
+    frames = np.stack([text_image] * 4)  # [0:2] real, [2:4] "padding"
+    valid = np.array([True, True, False, False])
+
+    full = VideoTextPipeline(rec_budget=4 * 16, **kwargs)
+    out_full = full.process_batch(frames, valid)
+    n_real = sum(len(d) for d in out_full)
+    assert n_real > 0
+    assert all(len(d) == 0 for d in out_full[2:])
+
+    # Budget exactly the real detections: if padding duplicates (same
+    # text-dense frame) consumed slots, some real detection would lose
+    # its transcript.
+    tight = VideoTextPipeline(rec_budget=n_real, **kwargs)
+    out_t = tight.process_batch(frames, valid)
+    assert [
+        [(d["text"], d["bbox"]) for d in dets] for dets in out_t
+    ] == [
+        [(d["text"], d["bbox"]) for d in dets] for dets in out_full
+    ]
+    assert all(d["text"] for dets in out_t[:2] for d in dets)
+
+
 def test_f32_pack_above_f16_safe_input(monkeypatch, text_image):
     """Detector input sizes past the f16 precision budget switch the
     packed transfer's det block to float32 (coords would otherwise

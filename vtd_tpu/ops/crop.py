@@ -27,12 +27,18 @@ def _bilinear_sample(image: jnp.ndarray, xq: jnp.ndarray, yq: jnp.ndarray):
     sources are in-bounds; out-of-bounds queries clamp).
     """
     h, w = image.shape[:2]
+    # Clamp the QUERY coords first (like the _mm variant): computing the
+    # fractional weights from unclamped coords makes an out-of-bounds
+    # query interpolate toward the wrong interior pixel (xq=-0.01 would
+    # weight pixel 1 by 0.99) instead of replicating the edge.
+    xq = jnp.clip(xq, 0.0, w - 1.0)
+    yq = jnp.clip(yq, 0.0, h - 1.0)
     x0 = jnp.floor(xq)
     y0 = jnp.floor(yq)
     fx = (xq - x0)[..., None]
     fy = (yq - y0)[..., None]
-    x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
     x1 = jnp.clip(x0 + 1, 0, w - 1)
     y1 = jnp.clip(y0 + 1, 0, h - 1)
 

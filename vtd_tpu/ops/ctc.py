@@ -47,6 +47,18 @@ def ctc_greedy_decode_arrays(
     return {"ids": ids, "emit": emit, "probs": pmax, "confidence": conf}
 
 
+def emit_mask_np(ids: np.ndarray) -> np.ndarray:
+    """Host-side CTC collapse rule on an [.., T] id array — the numpy
+    twin of the jitted emit computation above (the fused pipeline ships
+    only ids, so the host re-derives emit; keep the rule HERE so the
+    two paths cannot drift)."""
+    prev = np.concatenate(
+        [np.full(ids.shape[:-1] + (1,), -1, ids.dtype), ids[..., :-1]],
+        axis=-1,
+    )
+    return (ids != BLANK_ID) & (ids != prev) & (ids != UNK_ID)
+
+
 def ids_to_text(
     ids: np.ndarray, emit: np.ndarray
 ) -> List[str]:

@@ -377,8 +377,13 @@ def db_postprocess(
     nxt_start = jnp.roll(jnp.where(is_start, idx, n), -1).at[-1].set(n)
     nxt = jax.lax.cummin(nxt_start, reverse=True)
     run_len = jnp.where(is_start, nxt - idx, 0)
-    # Only foreground labels count (background runs have length 1 and
-    # fail min_area, but mask them anyway for robustness).
+    # Only runs of length >1 count: background cells are singleton runs
+    # in this sort order, and length is the only signal separating them
+    # from a genuine single-cell component. Consequence: a component
+    # occupying ONE strided cell (area <= st*st px^2) is never detected
+    # regardless of min_area — far below the reference's 100 px^2 area
+    # and 10 px side filters, so unreachable at parity settings, but a
+    # documented floor for custom min_area < 2*st*st.
     scores_for_topk = jnp.where(run_len > 1, run_len, 0)
     top_lens, top_pos = jax.lax.top_k(scores_for_topk, k)
     top_roots = ls[top_pos]

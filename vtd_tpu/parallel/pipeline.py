@@ -97,10 +97,13 @@ class TwoStagePipeline:
         model = detector.model
         out_h, out_w = crop_hw
         k = max_dets
-        # Same pack-precision rule as the fused program: f16 coords are
-        # exact to ~0.25 px at the 640 map scale but quantize >=0.5 px
-        # past 1024, so large inputs switch the det block to f32.
-        pack_dt = jnp.float32 if size > 1024 else jnp.float16
+        # Same pack-precision rule as the fused program (keep in sync
+        # with runtime/pipeline._F16_SAFE_INPUT): rotated-polygon
+        # corners reach size*sqrt(2), so f16 holds the 0.25 px error
+        # bound only up to size 724.
+        from ..runtime.pipeline import _F16_SAFE_INPUT
+
+        pack_dt = jnp.float32 if size > _F16_SAFE_INPUT else jnp.float16
 
         @jax.jit
         def stage_a(variables, frames_u8, thresh):

@@ -137,6 +137,8 @@ class TextDetector:
         """
         thr = self._thr_cache.get(confidence_threshold)
         if thr is None:
+            if len(self._thr_cache) >= 64:  # client-supplied: bound it
+                self._thr_cache.clear()
             thr = jax.device_put(jnp.float32(confidence_threshold))
             self._thr_cache[confidence_threshold] = thr
         return self._detect_jit(self.variables, jnp.asarray(frames), thr)
@@ -148,6 +150,8 @@ class TextDetector:
         b, h, w = frames.shape[:3]
         thr = self._thr_cache.get(confidence_threshold)
         if thr is None:  # fresh 4-byte uploads cost a round trip each
+            if len(self._thr_cache) >= 64:  # client-supplied: bound it
+                self._thr_cache.clear()
             thr = jax.device_put(jnp.float32(confidence_threshold))
             self._thr_cache[confidence_threshold] = thr
         pack = np.asarray(

@@ -59,12 +59,24 @@ class InferenceEngine:
         so streams of different resolutions never share a batch with
         mismatched coordinate scaling."""
         fut: Future = Future()
+        if self._stop.is_set():
+            fut.set_exception(RuntimeError("engine is closed"))
+            return fut
         self._q.put(((frame.shape, orig_size), frame, fut))
         return fut
 
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        # The loop flushes everything it has seen on exit; fail whatever
+        # raced into the queue after that so no waiter hangs forever.
+        while True:
+            try:
+                _, _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("engine closed"))
 
     # ------------------------------------------------------------------
     def _loop(self):
@@ -105,6 +117,17 @@ class InferenceEngine:
                         inflight.append(dispatched)
             while len(inflight) > depth:
                 self._finish_batch(*inflight.popleft())
+        # Shutdown flush: dispatch every bucketed frame (don't strand
+        # their futures), then drain the in-flight queue.
+        for key in list(buckets):
+            items = buckets.pop(key)
+            while items:
+                dispatched = self._dispatch_items(
+                    items[: self.batch_size], key
+                )
+                items = items[self.batch_size:]
+                if dispatched is not None:
+                    inflight.append(dispatched)
         while inflight:
             self._finish_batch(*inflight.popleft())
 
@@ -132,7 +155,9 @@ class InferenceEngine:
             frames = np.stack(raw)
             valid = np.zeros(self.batch_size, bool)
             valid[:n] = True
-            handles = self.pipeline.dispatch_batch(frames)
+            handles = self.pipeline.dispatch_batch(
+                frames, valid_frames=valid
+            )
             return items, frames, valid, orig_size, handles
         except Exception as e:  # resolve futures even on failure
             logger.exception("engine dispatch failed")

@@ -42,9 +42,12 @@ from .recognizer import TextRecognizer
 logger = logging.getLogger(__name__)
 
 # Largest detector input size whose pixel coordinates survive the f16
-# transfer pack exactly enough (quantum < 0.5 px); beyond it the det
-# block packs as f32.
-_F16_SAFE_INPUT = 1024
+# transfer pack exactly enough; beyond it the det block packs as f32.
+# The binding value is the POLYGON corners, which reach size*sqrt(2)
+# for rotated boxes: keeping them under 1024 (f16 quantum 0.5, max
+# rounding error 0.25 px) bounds the per-corner error at 0.25 px —
+# 1024//sqrt(2) = 724.
+_F16_SAFE_INPUT = 724
 
 
 def _dedup_summary(all_results: List[Dict[str, Any]]) -> Dict[str, Any]:
@@ -119,6 +122,7 @@ class VideoTextPipeline:
             )
         self.rec_budget = rec_budget
         self._rec_budget_warned = False
+        self._fv_cache: Dict[bytes, Any] = {}
         self.confidence_threshold = confidence_threshold
         # Output filter on OCR confidence. Default 0.0 = reference
         # parity: the reference's hardcoded 0.95 TrOCR confidence
@@ -265,7 +269,7 @@ class VideoTextPipeline:
         crnn = None if self.use_transformer else self.recognizer.crnn
 
         @jax.jit
-        def run(variables, rec_variables, frames_u8, thresh):
+        def run(variables, rec_variables, frames_u8, thresh, frame_valid):
             if frames_u8.ndim == 3:  # I420-packed [B, H*3/2, W]
                 from ..ops.preprocess import yuv420_to_bgr
 
@@ -276,6 +280,11 @@ class VideoTextPipeline:
             post = jax.vmap(
                 lambda p: db_postprocess(p, thresh, max_dets=max_dets)
             )(prob)
+            # Padding frames (batch tails duplicate the last real frame)
+            # must not produce valid slots: they would consume
+            # recognition-budget places from real detections and inflate
+            # the packed valid column the host then has to re-filter.
+            post["valid"] = post["valid"] & frame_valid[:, None]
             scale = jnp.asarray([w / size, h / size, w / size, h / size])
             boxes_orig = post["boxes"] * scale
             crops = jax.vmap(
@@ -356,6 +365,29 @@ class VideoTextPipeline:
 
         return run
 
+    def _frame_valid_dev(self, valid_frames, b: int):
+        """[B] bool frame-validity mask on device, cached per pattern —
+        a fresh 8-byte upload per dispatch would cost a host-link round
+        trip; a video produces at most two patterns (full batches + one
+        tail)."""
+        arr = (
+            np.ones(b, bool) if valid_frames is None
+            else np.asarray(valid_frames, bool)
+        )
+        key = arr.tobytes()
+        dev = self._fv_cache.get(key)
+        if dev is None:
+            if len(self._fv_cache) >= 32:
+                self._fv_cache.clear()
+            if self.mesh is not None:
+                from ..parallel.sharding import batch_sharding
+
+                dev = jax.device_put(arr, batch_sharding(self.mesh, 1))
+            else:
+                dev = jax.device_put(arr)
+            self._fv_cache[key] = dev
+        return dev
+
     def _effective_rec_budget(self, b: int) -> int:
         """Recognized crop slots per b-frame batch on the CRNN path —
         the single source of truth for the fused program AND the
@@ -420,6 +452,7 @@ class VideoTextPipeline:
         self,
         frames: np.ndarray,
         confidence_threshold: Optional[float] = None,
+        valid_frames: Optional[np.ndarray] = None,
     ):
         """Enqueue the fused device program (non-blocking: JAX dispatch
         is async, so the TPU crunches this batch while the host decodes
@@ -428,6 +461,8 @@ class VideoTextPipeline:
         ``confidence_threshold`` overrides the instance default per call
         (it is a traced scalar, so no recompile) — concurrent jobs with
         different thresholds must not mutate shared pipeline state.
+        ``valid_frames``: [B] bool marking real (non-padding) frames;
+        None means all real.
         """
         thr = (
             self.confidence_threshold
@@ -442,6 +477,11 @@ class VideoTextPipeline:
         # full host-link round trip (~30 ms on a relayed link).
         dev_thr = self._thr_cache.get(thr)
         if dev_thr is None:
+            # Thresholds are client-supplied per request: bound the
+            # cache or arbitrary distinct floats pin device scalars
+            # forever on a long-lived server.
+            if len(self._thr_cache) >= 64:
+                self._thr_cache.clear()
             if self.parallel_mode == "two_stage":
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -468,12 +508,20 @@ class VideoTextPipeline:
             frames_dev = frames  # stage-A placement happens in the runner
         else:
             frames_dev = jnp.asarray(frames)
-        handles = self._detect_crop(
-            self.detector.variables,
-            rec_vars,
-            frames_dev,
-            dev_thr,
-        )
+        if self.parallel_mode == "two_stage":
+            # The two-stage runner keeps the 4-arg contract; padding
+            # frames are filtered host-side as before.
+            handles = self._detect_crop(
+                self.detector.variables, rec_vars, frames_dev, dev_thr
+            )
+        else:
+            handles = self._detect_crop(
+                self.detector.variables,
+                rec_vars,
+                frames_dev,
+                dev_thr,
+                self._frame_valid_dev(valid_frames, len(frames)),
+            )
         # Start the device->host copy of the packed outputs as soon as
         # the program finishes, so by the time process_batch blocks on
         # device_get the bytes are already in flight (or landed).
@@ -504,7 +552,8 @@ class VideoTextPipeline:
         t0 = time.perf_counter()
         if handles is None:
             handles = self._dispatch_batch(
-                frames, confidence_threshold=confidence_threshold
+                frames, valid_frames=valid_frames,
+                confidence_threshold=confidence_threshold
             )
         # CRNN path returns (out_pack,); transformer path (det_bytes,
         # crops). Either way the first handle is the uint8 byte pack.
@@ -527,14 +576,10 @@ class VideoTextPipeline:
             ids = out_pack[..., itemsize * nf16:].reshape(
                 b * self.max_dets, -1
             ).astype(np.int32)
-            prev = np.concatenate(
-                [np.full((ids.shape[0], 1), -1, ids.dtype), ids[:, :-1]],
-                axis=1,
-            )
-            from ..models.crnn import BLANK_ID, UNK_ID
+            from ..ops.ctc import emit_mask_np
 
-            emit = (ids != BLANK_ID) & (ids != prev) & (ids != UNK_ID)
-            ctc = {"ids": ids, "emit": emit, "confidence": conf}
+            ctc = {"ids": ids, "emit": emit_mask_np(ids),
+                   "confidence": conf}
         sx, sy = w / size, h / size
 
         # Vectorized slot filter (the Python loop over B*K slots was a
@@ -634,14 +679,17 @@ class VideoTextPipeline:
         self,
         frames: np.ndarray,
         confidence_threshold: Optional[float] = None,
+        valid_frames: Optional[np.ndarray] = None,
     ):
         """Asynchronously enqueue the fused detect→postprocess→crop→
         recognize program for one fixed-size frame batch; returns opaque
         device handles to pass to :meth:`process_batch`. Non-blocking —
         dispatch batch k+1 before collecting batch k to overlap host and
-        device work."""
+        device work. ``valid_frames``: [B] bool marking real
+        (non-padding) frames, None = all real."""
         return self._dispatch_batch(
-            frames, confidence_threshold=confidence_threshold
+            frames, confidence_threshold=confidence_threshold,
+            valid_frames=valid_frames,
         )
 
     def process_batch(
@@ -708,6 +756,7 @@ class VideoTextPipeline:
             if self.profile_dir
             else nullcontext()
         )
+        ckpt_fh = None
         try:
             start_time = time.time()
             video_info = self.video_processor.get_video_info(video_path)
@@ -715,7 +764,6 @@ class VideoTextPipeline:
                 raise ValueError(f"Cannot open video: {video_path}")
 
             done_frames: Dict[int, Dict[str, Any]] = {}
-            ckpt_fh = None
             if resume_file:
                 import os as _os
 
@@ -885,9 +933,6 @@ class VideoTextPipeline:
                             dispatch_q.get_nowait()
                         except _queue.Empty:
                             break
-            if ckpt_fh is not None:
-                ckpt_fh.close()
-
             # Keyframe propagation appends dups after their keyframe's
             # batch, and parallel segment decode interleaves batches
             # across segments — restore canonical frame order.
@@ -905,6 +950,13 @@ class VideoTextPipeline:
         except Exception as e:
             logger.error("Video processing failed: %s", e)
             return {"status": "failed", "error": str(e), "results": []}
+        finally:
+            # Close on EVERY path: an exception mid-run must still flush
+            # buffered checkpoint records — they are exactly what the
+            # retry will resume from — and a long-lived server must not
+            # leak one fd per failed resumable job.
+            if ckpt_fh is not None:
+                ckpt_fh.close()
 
     # ------------------------------------------------------------------
     def process_single_frame(
