@@ -244,13 +244,9 @@ def test_start_detection_dispatches_task(client, auth_headers, tmp_path):
     )
     vid = r.json()["id"]
 
-    class FakeTask:
-        id = "fake-task-id-1"
-
     with patch(
         "vtd_tpu.serve.app.process_video_task"
     ) as mock_task:
-        mock_task.delay.return_value = FakeTask()
         r2 = client.post(
             f"/api/v1/processing/videos/{vid}/detect",
             params={"confidence_threshold": 0.7, "use_transformer": "false"},
@@ -258,9 +254,13 @@ def test_start_detection_dispatches_task(client, auth_headers, tmp_path):
         )
         assert r2.status_code == 200, r2.render()
         job = r2.json()
-        assert job["celery_task_id"] == "fake-task-id-1"
         assert job["status"] == "pending"
-        cfg = mock_task.delay.call_args[0][1]
+        # The app PRE-generates the task id and persists the job row
+        # BEFORE submission (apply_async(task_id=...)) so a fast worker
+        # can't race the insert; the dispatched id must match the row.
+        call = mock_task.apply_async.call_args
+        assert call.kwargs["task_id"] == job["celery_task_id"]
+        cfg = call.kwargs["args"][1]
         assert cfg["confidence_threshold"] == 0.7
         assert cfg["use_transformer"] is False
 

@@ -89,6 +89,64 @@ def test_soft_limit_sets_cancel_flag(queue):
     assert res.get(timeout=10) == "cancelled"  # soft limit 0.5 s
 
 
+def test_soft_limited_completion_is_success_not_revoked(queue):
+    """A task that outruns (or ignores) the soft-limit nudge and returns
+    a result is a SUCCESS — only an explicit revoke() yields REVOKED
+    (Celery parity: swallowing SoftTimeLimitExceeded keeps the result)."""
+    queue.hard_time_limit = 60.0  # only the soft limit in play here
+
+    @queue.task(name="slowpoke")
+    def slowpoke(self):
+        time.sleep(0.8)  # past the 0.5 s soft limit, ignores the flag
+        return 42
+
+    res = slowpoke.delay()
+    assert res.get(timeout=10) == 42
+    assert res.state == "SUCCESS"
+
+
+def test_explicit_revoke_observed_is_revoked(queue):
+    @queue.task(name="looper2")
+    def looper2(self):
+        for _ in range(200):
+            if self.is_revoked():
+                return "stopped"
+            time.sleep(0.02)
+        return "finished"
+
+    res = looper2.delay()
+    time.sleep(0.1)
+    queue.revoke(res.id)
+    deadline = time.time() + 10
+    while res.state not in ("REVOKED", "SUCCESS", "FAILURE"):
+        assert time.time() < deadline
+        time.sleep(0.05)
+    assert res.state == "REVOKED"
+    assert res.result == "stopped"
+
+
+def test_hard_limit_fires_failure_hooks(queue):
+    """Queue-level terminal failures must deliver failure/postrun
+    signals (DB-sync hooks depend on them)."""
+    failures, postruns = [], []
+    queue.on_failure.append(lambda rec, exc: failures.append(rec.id))
+    queue.on_postrun.append(lambda rec: postruns.append(rec.state))
+
+    @queue.task(name="hog")
+    def hog(self):
+        time.sleep(30)  # never polls is_revoked
+        return "done"
+
+    queue.hard_time_limit = 1.0
+    res = hog.delay()
+    deadline = time.time() + 15
+    while res.state != "FAILURE":
+        assert time.time() < deadline, res.state
+        time.sleep(0.1)
+    assert res.id in failures
+    assert "FAILURE" in postruns
+
+
 def test_stats_and_hooks(queue):
     seen = []
     queue.on_postrun.append(lambda rec: seen.append(rec.state))

@@ -947,6 +947,12 @@ class VideoTextPipeline:
                 "summary": summary,
                 "video_info": video_info,
             }
+        except InterruptedError:
+            # Cooperative cancellation from the progress callback (the
+            # serving task raises it when its job is revoked): propagate
+            # so the caller can record "cancelled" — swallowing it into
+            # a failed-dict made cancelled jobs report as failures.
+            raise
         except Exception as e:
             logger.error("Video processing failed: %s", e)
             return {"status": "failed", "error": str(e), "results": []}

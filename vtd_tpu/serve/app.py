@@ -81,9 +81,36 @@ def _register_queue_metrics():
             )
         )
 
-    if on_postrun not in task_queue.on_postrun:
+    def on_failure(rec, exc):
+        # Queue-level terminal failures (hard time limit, process worker
+        # lost/SIGKILLed) never run the task's own except-clause, so the
+        # processing_jobs row would stay 'processing' forever and 409
+        # every future detect on that video — sync it here.
+        if rec.name != "process_video_task":
+            return
+        from .db.database import get_database
+        from .db.schemas import ProcessingJobUpdate
+
+        db = get_database()
+        job = ProcessingJobCRUD.get_by_task_id(db, rec.id)
+        if job and job["status"] not in (
+            "completed", "failed", "cancelled"
+        ):
+            ProcessingJobCRUD.update_by_task_id(
+                db, rec.id,
+                ProcessingJobUpdate(
+                    status="failed", error_message=str(rec.result or exc)
+                ),
+            )
+
+    # identity check on a fresh closure is always True — guard with a
+    # flag so repeated create_app calls in one process don't stack hooks
+    # (stacked postruns double-count every task metric)
+    if not getattr(task_queue, "_app_hooks_registered", False):
+        task_queue._app_hooks_registered = True
         task_queue.on_postrun.append(on_postrun)
         task_queue.on_prerun.append(on_prerun)
+        task_queue.on_failure.append(on_failure)
 
 
 def _public_user(user: Dict[str, Any]) -> Dict[str, Any]:
@@ -372,20 +399,37 @@ def create_app(
         VideoCRUD.delete(get_database(), video["id"])
         return Response(204, None)
 
+    def _local_video_path(video: Dict[str, Any]) -> str:
+        """file_path usable by os/cv2/ffmpeg: S3-stored videos (the
+        worker task already pulls them the same way) are fetched to a
+        per-video temp cache; local paths pass through."""
+        path = video["file_path"]
+        if not path.startswith("s3://"):
+            return path
+        ext = os.path.splitext(video["original_filename"])[1] or ".mp4"
+        cached = os.path.join(
+            settings.temp_dir, f"s3cache_{video['id']}{ext}"
+        )
+        if not os.path.exists(cached):
+            os.makedirs(settings.temp_dir, exist_ok=True)
+            _run(storage_service.retrieve_video(path, cached))
+        return cached
+
     @app.get("/api/v1/videos/{video_id}/download")
     def download_video(request: Request) -> Response:
         video = _owned_video(request, request.path_params["video_id"])
-        if not os.path.exists(video["file_path"]):
+        path = _local_video_path(video)
+        if not os.path.exists(path):
             raise HTTPException(404, "Video file not found")
-        return FileResponse(
-            video["file_path"], filename=video["original_filename"]
-        )
+        return FileResponse(path, filename=video["original_filename"])
 
     @app.get("/api/v1/videos/{video_id}/thumbnail")
     def video_thumbnail(request: Request) -> Response:
         video = _owned_video(request, request.path_params["video_id"])
         ts = float(request.query.get("timestamp", 0.0))
-        thumb = _run(video_service.generate_thumbnail(video["file_path"], ts))
+        thumb = _run(
+            video_service.generate_thumbnail(_local_video_path(video), ts)
+        )
         if not thumb or not os.path.exists(thumb):
             raise HTTPException(404, "Thumbnail generation failed")
         return FileResponse(thumb, media_type="image/jpeg")
@@ -421,10 +465,21 @@ def create_app(
             ),
             "batch_size": settings.batch_size,
         }
-        task = process_video_task.delay(video["id"], task_config)
+        # Persist the job row BEFORE the task can run: with the
+        # in-process worker the task may start (and try to update the
+        # row by task id) microseconds after submission — pre-generating
+        # the id closes the race where a fast-failing task's updates
+        # no-op and the row stays 'pending' forever, 409-blocking the
+        # video. (Celery's apply_async(task_id=...) contract.)
+        import uuid as _uuid
+
+        task_id = str(_uuid.uuid4())
         job = ProcessingJobCRUD.create(
             db,
-            ProcessingJobCreate(video_id=video["id"], celery_task_id=task.id),
+            ProcessingJobCreate(video_id=video["id"], celery_task_id=task_id),
+        )
+        process_video_task.apply_async(
+            args=(video["id"], task_config), task_id=task_id
         )
         return Response(200, job)
 
@@ -518,7 +573,7 @@ def create_app(
             raise HTTPException(404, "No completed processing found")
         path = _run(
             processing_service.create_annotated_video(
-                video["file_path"], job.get("result_data") or {}
+                _local_video_path(video), job.get("result_data") or {}
             )
         )
         if not path or not os.path.exists(path):

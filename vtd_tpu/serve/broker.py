@@ -39,12 +39,18 @@ class FileBroker:
         root: str,
         worker_id: Optional[str] = None,
         heartbeat_timeout: float = 30.0,
+        result_ttl: float = 86400.0,
     ):
         self.root = Path(root)
         for sub in ("pending", "claimed", "state", "revoked"):
             (self.root / sub).mkdir(parents=True, exist_ok=True)
         self.worker_id = worker_id or f"{socket.gethostname()}-{os.getpid()}"
         self.heartbeat_timeout = heartbeat_timeout
+        # state/ holds results other hosts poll after completion — they
+        # expire after result_ttl (Celery result-backend TTL parity)
+        # instead of accumulating one file per task forever.
+        self.result_ttl = result_ttl
+        self._last_gc = 0.0
 
     # -- paths -------------------------------------------------------------
     def _p(self, sub: str, task_id: str, ext: str = ".json") -> Path:
@@ -69,12 +75,18 @@ class FileBroker:
     def claim(self) -> Optional[Dict[str, Any]]:
         """Atomically take one pending task; None when queue is empty."""
         try:
-            entries = sorted(os.listdir(self.root / "pending"))
-        except FileNotFoundError:
+            # FIFO: uuid filenames sort randomly — order by mtime (the
+            # enqueue time) so a task can't be starved behind
+            # later-submitted tasks with smaller uuids.
+            with os.scandir(self.root / "pending") as it:
+                entries = [
+                    (e.stat().st_mtime, e.name)
+                    for e in it
+                    if e.name.endswith(".json")
+                ]
+        except (FileNotFoundError, OSError):
             return None
-        for name in entries:
-            if not name.endswith(".json"):
-                continue
+        for _, name in sorted(entries):
             src = self.root / "pending" / name
             dst = self.root / "claimed" / name
             try:
@@ -105,6 +117,8 @@ class FileBroker:
     def finish(self, task_id: str) -> None:
         self._p("claimed", task_id).unlink(missing_ok=True)
         self._p("claimed", task_id, ".hb").unlink(missing_ok=True)
+        # The revoke marker has served its purpose once the task is done.
+        self._p("revoked", task_id).unlink(missing_ok=True)
 
     # -- state / results -------------------------------------------------------
     def set_state(self, task_id: str, state: Dict[str, Any]) -> None:
@@ -152,7 +166,33 @@ class FileBroker:
             self.set_state(task_id, {"state": "PENDING", "requeued": True})
             requeued.append(task_id)
             logger.warning("requeued stale task %s", task_id)
+        self._gc_expired(now)
         return requeued
+
+    def _gc_expired(self, now: float) -> None:
+        """Drop state files and revoke markers past result_ttl — the
+        only files finish() can't remove (results are read after
+        completion). Runs from the periodic requeue_stale sweep, at
+        most every 5 minutes."""
+        if now - self._last_gc < 300.0:
+            return
+        self._last_gc = now
+        cutoff = now - self.result_ttl
+        for sub in ("state", "revoked"):
+            try:
+                with os.scandir(self.root / sub) as it:
+                    stale = [
+                        e.path for e in it
+                        if not e.name.startswith(".")
+                        and e.stat().st_mtime < cutoff
+                    ]
+            except (FileNotFoundError, OSError):
+                continue
+            for path in stale:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
 
     def pending_count(self) -> int:
         try:

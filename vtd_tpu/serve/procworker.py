@@ -62,7 +62,10 @@ class _ChildTaskContext:
         self._event_w.send(("state", self.id, state, meta))
 
     def is_revoked(self) -> bool:
-        return bool(self._revoked.get(self.id))
+        return self._revoked.get(self.id) is not None
+
+    def _explicitly_revoked(self) -> bool:
+        return self._revoked.get(self.id) == "revoke"
 
 
 def child_main(inbox, event_w, revoked, tasks_module: str, max_tasks: int):
@@ -99,7 +102,10 @@ def child_main(inbox, event_w, revoked, tasks_module: str, max_tasks: int):
                 ctx, *tuple(payload.get("args", ())),
                 **payload.get("kwargs", {}),
             )
-            state = "REVOKED" if ctx.is_revoked() else "SUCCESS"
+            # Only an explicit revoke makes a completed task REVOKED; a
+            # soft-time-limit nudge the task outran is still a success
+            # (Celery parity — see queue.py:_run).
+            state = "REVOKED" if ctx._explicitly_revoked() else "SUCCESS"
             event_w.send(("done", tid, state, _jsonable(result), ""))
         except InterruptedError:
             event_w.send(("done", tid, "REVOKED", None, ""))
@@ -191,7 +197,7 @@ class ProcessWorkerPool:
         self._pending.put(rec)
 
     def revoke(self, task_id: str, terminate: bool = False) -> None:
-        self.revoked[task_id] = True
+        self.revoked[task_id] = "revoke"
         if terminate:
             self._kill_task(task_id, final_state="REVOKED",
                             reason="revoked (terminate=True)")
@@ -373,7 +379,7 @@ class ProcessWorkerPool:
             for tid, t0 in list(self._started_at.items()):
                 elapsed = now - t0
                 if elapsed > q.soft_time_limit:
-                    self.revoked[tid] = True  # cooperative cancellation
+                    self.revoked.setdefault(tid, "soft")  # cooperative
                 if elapsed > q.hard_time_limit:
                     self._kill_task(
                         tid, final_state="FAILURE",

@@ -52,6 +52,9 @@ class TaskRecord:
     started_at: Optional[float] = None
     finished_at: Optional[float] = None
     cancel_event: threading.Event = field(default_factory=threading.Event)
+    # Explicit revocation (vs a soft-time-limit nudge, which also sets
+    # cancel_event): only this makes a completed task report REVOKED.
+    revoke_requested: bool = False
 
 
 class AsyncResult:
@@ -146,8 +149,15 @@ class RegisteredTask:
     def delay(self, *args, **kwargs) -> AsyncResult:
         return self._backend.submit(self, args, kwargs)
 
-    def apply_async(self, args=(), kwargs=None, **_) -> AsyncResult:
-        return self._backend.submit(self, tuple(args), kwargs or {})
+    def apply_async(
+        self, args=(), kwargs=None, task_id: Optional[str] = None, **_
+    ) -> AsyncResult:
+        # task_id lets callers persist the id (e.g. a ProcessingJob row)
+        # BEFORE the task can run — Celery's apply_async(task_id=...)
+        # contract; without it a fast worker races the row insert.
+        return self._backend.submit(
+            self, tuple(args), kwargs or {}, task_id=task_id
+        )
 
     def __call__(self, *args, **kwargs):
         return self.fn(None, *args, **kwargs)
@@ -212,10 +222,13 @@ class TaskQueue:
         self._beat.append((interval_s, task, args))
 
     # -- submission --------------------------------------------------------
-    def submit(self, task: RegisteredTask, args: tuple, kwargs: dict) -> AsyncResult:
+    def submit(
+        self, task: RegisteredTask, args: tuple, kwargs: dict,
+        task_id: Optional[str] = None,
+    ) -> AsyncResult:
         rec = TaskRecord(
-            id=str(uuid.uuid4()), name=task.name, args=args, kwargs=kwargs,
-            queue=task.queue,
+            id=task_id or str(uuid.uuid4()), name=task.name, args=args,
+            kwargs=kwargs, queue=task.queue,
         )
         with self._lock:
             self.records[rec.id] = rec
@@ -257,6 +270,7 @@ class TaskQueue:
         rec = self.records.get(task_id)
         if not rec:
             return self.broker is not None
+        rec.revoke_requested = True
         rec.cancel_event.set()
         if self._pool is not None:
             self._pool.revoke(task_id, terminate=terminate)
@@ -292,6 +306,14 @@ class TaskQueue:
                         target=self._beat_loop, daemon=True
                     )
                     self._beat_thread.start()
+                if self._monitor_thread is None:
+                    # ProcessWorkerPool enforces time limits itself; the
+                    # queue still needs the record GC (and nothing else)
+                    # or records grow without bound on long-lived hosts.
+                    self._monitor_thread = threading.Thread(
+                        target=self._gc_loop, daemon=True
+                    )
+                    self._monitor_thread.start()
             return
         with self._lock:
             alive = [w for w in self._workers if w.is_alive()]
@@ -314,21 +336,27 @@ class TaskQueue:
     def _worker_loop(self):
         while not self._stop.is_set():
             if self.broker is not None:
-                payload = self.broker.claim()
-                if payload is None:
-                    time.sleep(0.1)
-                    continue
-                rec = self.records.get(payload["id"])
-                if rec is None or rec.name == "":
-                    rec = TaskRecord(
-                        id=payload["id"], name=payload["name"],
-                        args=tuple(payload.get("args", ())),
-                        kwargs=payload.get("kwargs", {}),
-                        queue=payload.get("queue", "default"),
-                    )
-                    self.records[rec.id] = rec
-                self._run(rec)
-                self.broker.finish(rec.id)
+                # One NFS hiccup or malformed task file must not kill a
+                # fleet worker thread permanently.
+                try:
+                    payload = self.broker.claim()
+                    if payload is None:
+                        time.sleep(0.1)
+                        continue
+                    rec = self.records.get(payload["id"])
+                    if rec is None or rec.name == "":
+                        rec = TaskRecord(
+                            id=payload["id"], name=payload["name"],
+                            args=tuple(payload.get("args", ())),
+                            kwargs=payload.get("kwargs", {}),
+                            queue=payload.get("queue", "default"),
+                        )
+                        self.records[rec.id] = rec
+                    self._run(rec)
+                    self.broker.finish(rec.id)
+                except Exception:
+                    logger.exception("broker worker iteration failed")
+                    time.sleep(1.0)
                 continue
             try:
                 rec = self._q.get(timeout=0.2)
@@ -354,6 +382,11 @@ class TaskQueue:
             for r in done[: len(done) - keep]:
                 self.records.pop(r.id, None)
 
+    def _gc_loop(self):
+        while not self._stop.is_set():
+            self._gc_records()
+            time.sleep(5.0)
+
     def _monitor_loop(self):
         """Enforce soft/hard time limits (celery_app.py:23-24 parity):
         past the soft limit a task sees its cancellation flag; past the
@@ -374,6 +407,16 @@ class TaskQueue:
                     rec.state = "FAILURE"
                     rec.finished_at = now
                     self._stats["failed"] += 1
+                    # Queue-level terminal failure: the task body never
+                    # returns, so its own cleanup can't run — deliver
+                    # the failure/postrun signals here (DB-sync hooks
+                    # depend on them; Celery fires task_failure on hard
+                    # kills the same way).
+                    err = TimeoutError("hard time limit exceeded")
+                    for hook in self.on_failure:
+                        _safe(hook, rec, err)
+                    for hook in self.on_postrun:
+                        _safe(hook, rec)
             if self.broker is not None:
                 # keep shared-queue heartbeats fresh for locally running
                 # tasks, and reclaim tasks from dead workers (elasticity)
@@ -399,10 +442,13 @@ class TaskQueue:
             _safe(hook, rec)
         try:
             rec.result = task.fn(ctx, *rec.args, **rec.kwargs)
-            if rec.cancel_event.is_set():
+            if rec.revoke_requested:
                 rec.state = "REVOKED"
                 self._stats["revoked"] += 1
             else:
+                # A soft-time-limit nudge the task outran (or ignored)
+                # is still a success — Celery parity: tasks that swallow
+                # SoftTimeLimitExceeded and return keep their result.
                 rec.state = "SUCCESS"
                 self._stats["completed"] += 1
         except Exception as e:
@@ -431,13 +477,15 @@ class TaskQueue:
                 _safe(hook, rec)
 
     def _beat_loop(self):
-        last = {i: 0.0 for i in range(len(self._beat))}
+        # keyed with .get(): register_beat_schedule may append entries
+        # after this thread started (second create_app in one process)
+        last: Dict[int, float] = {}
         while not self._stop.is_set():
             now = time.time()
-            for i, (interval, task, args) in enumerate(self._beat):
-                if now - last[i] >= interval:
+            for i, (interval, task, args) in enumerate(list(self._beat)):
+                if now - last.get(i, 0.0) >= interval:
                     last[i] = now
-                    task.delay(*args)
+                    _safe(task.delay, *args)
             time.sleep(0.5)
 
     # -- introspection (get_celery_stats parity, celery_app.py:109-129) ---
