@@ -83,7 +83,12 @@ class TrOCRConfig:
     dec_layers: int = 12
     dec_heads: int = 16
     dec_mlp: int = 4096
-    vocab_size: int = 98 + 3  # CharTokenizer default
+    # CharTokenizer.vocab_size == 98 (95 printable chars + pad/bos/eos
+    # ALREADY included) — the old "98 + 3" default double-counted the
+    # specials and left 3 dead logit rows whose untrained argmax could
+    # surface as silently-dropped ids. Trained checkpoints are
+    # unaffected: they pin vocab_size via their config.json sidecar.
+    vocab_size: int = 98
     max_len: int = 50  # reference decode cap (text_recognizer.py:58)
     dtype: Any = jnp.bfloat16
     # --- HF-compatibility knobs (microsoft/trocr-* checkpoint layout) ---

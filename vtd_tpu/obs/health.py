@@ -115,14 +115,38 @@ class HealthCheck:
         )
 
     async def check_accelerator(self) -> Dict[str, Any]:
-        """TPU-native addition: devices visible and a trivial program runs."""
-        try:
-            import jax
+        """TPU-native addition: devices visible AND a trivial program
+        completes within a deadline. Listing devices alone reads a
+        cached enumeration and stays green while the runtime is wedged
+        (programs never finish — the known failure mode behind flaky
+        device tunnels), so the probe runs a tiny jitted op in a helper
+        thread and reports unhealthy on timeout rather than hanging the
+        health endpoint."""
+        import threading
 
-            devs = jax.devices()
-            return _ok(devices=[str(d) for d in devs], count=len(devs))
-        except Exception as e:
-            return _bad(str(e))
+        result: Dict[str, Any] = {}
+
+        def _probe():
+            try:
+                import jax
+                import jax.numpy as jnp
+
+                devs = jax.devices()
+                y = jax.jit(lambda a: a + 1)(jnp.float32(1.0))
+                jax.block_until_ready(y)
+                result["devices"] = [str(d) for d in devs]
+            except Exception as e:  # noqa: BLE001
+                result["error"] = str(e)
+
+        t = threading.Thread(target=_probe, daemon=True)
+        t.start()
+        t.join(timeout=10.0)
+        if t.is_alive():
+            return _bad("accelerator probe timed out (runtime wedged?)")
+        if "error" in result:
+            return _bad(result["error"])
+        devs = result.get("devices", [])
+        return _ok(devices=devs, count=len(devs))
 
     async def check_external_apis(self) -> Dict[str, Any]:
         """S3 head_bucket when configured (health.py:215-267)."""

@@ -135,25 +135,29 @@ class TextDetector:
         Thresholding semantics: the reference binarizes the probability
         map at ``confidence_threshold`` (text_detector.py:144).
         """
+        thr = self._thr(confidence_threshold)
+        return self._detect_jit(self.variables, jnp.asarray(frames), thr)
+
+    def _thr(self, confidence_threshold: float):
+        """Cached device scalar for a threshold — a fresh 4-byte upload
+        per call costs a host-link round trip. Bounded (thresholds are
+        client-supplied floats); eviction drops the oldest half but
+        keeps hot entries rather than clearing everything."""
         thr = self._thr_cache.get(confidence_threshold)
         if thr is None:
-            if len(self._thr_cache) >= 64:  # client-supplied: bound it
-                self._thr_cache.clear()
+            if len(self._thr_cache) >= 64:
+                for key in list(self._thr_cache)[:32]:
+                    del self._thr_cache[key]
             thr = jax.device_put(jnp.float32(confidence_threshold))
             self._thr_cache[confidence_threshold] = thr
-        return self._detect_jit(self.variables, jnp.asarray(frames), thr)
+        return thr
 
     def detect_batch(
         self, frames: np.ndarray, confidence_threshold: float = 0.5
     ) -> List[List[Dict[str, Any]]]:
         """[B, H, W, 3] u8 -> per-frame lists of detection dicts."""
         b, h, w = frames.shape[:3]
-        thr = self._thr_cache.get(confidence_threshold)
-        if thr is None:  # fresh 4-byte uploads cost a round trip each
-            if len(self._thr_cache) >= 64:  # client-supplied: bound it
-                self._thr_cache.clear()
-            thr = jax.device_put(jnp.float32(confidence_threshold))
-            self._thr_cache[confidence_threshold] = thr
+        thr = self._thr(confidence_threshold)
         pack = np.asarray(
             jax.device_get(
                 self._detect_packed(self.variables, jnp.asarray(frames), thr)

@@ -202,9 +202,15 @@ class RecognizerTrainer:
     def evaluate(
         self, model, params, batch_stats, images, texts
     ) -> Dict[str, float]:
-        logits = jax.jit(
-            lambda v, x: model.apply(v, x)
-        )({"params": params, "batch_stats": batch_stats}, jnp.asarray(images))
+        # jit the apply ONCE per trainer: a fresh lambda each call can
+        # never hit the jit cache, recompiling the eval forward every
+        # epoch (minutes per compile on a 1-core host).
+        if not hasattr(self, "_eval_apply"):
+            self._eval_apply = jax.jit(lambda v, x: model.apply(v, x))
+        logits = self._eval_apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(images),
+        )
         arrs = jax.device_get(ctc_greedy_decode_arrays(logits))
         decoded = ids_to_text(arrs["ids"], arrs["emit"])
         exact = sum(d == t for d, t in zip(decoded, texts)) / max(len(texts), 1)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import logging
 import time
+from functools import partial
 from pathlib import Path
 from typing import Any, Dict, Iterable, List, Optional, Tuple
 
@@ -58,8 +59,13 @@ class TextDetectionDataset:
         return len(self.images)
 
     def batches(
-        self, batch_size: int, shuffle: bool = False, seed: int = 0
-    ) -> Iterable[Tuple[np.ndarray, Dict[str, np.ndarray]]]:
+        self, batch_size: int, shuffle: bool = False, seed: int = 0,
+        with_valid: bool = False,
+    ) -> Iterable[Tuple]:
+        """``with_valid=True`` additionally yields a [batch_size] bool
+        mask marking the real (non-wrap-padding) samples — evaluation
+        needs it or the tail batch double-counts up to batch_size-1
+        samples in loss/P/R/F1."""
         n = len(self)
         idx = np.arange(n)
         if shuffle:
@@ -67,12 +73,22 @@ class TextDetectionDataset:
         # fixed batch shapes: drop nothing — pad the tail by wrapping
         for i in range(0, n, batch_size):
             sel = idx[i:i + batch_size]
-            if len(sel) < batch_size:
-                sel = np.concatenate([sel, idx[: batch_size - len(sel)]])
+            n_real = len(sel)
+            if n_real < batch_size:
+                # Tile (not a single wrap) so datasets smaller than the
+                # deficit still fill the fixed batch shape.
+                reps = -(-(batch_size - n_real) // n)  # ceil
+                sel = np.concatenate([sel] + [idx] * reps)[:batch_size]
             imgs = self.images[sel]
             if self.transform:
                 imgs = self.transform(imgs)
-            yield imgs, {k: v[sel] for k, v in self.targets.items()}
+            targets = {k: v[sel] for k, v in self.targets.items()}
+            if with_valid:
+                valid = np.zeros(batch_size, bool)
+                valid[:n_real] = True
+                yield imgs, targets, valid
+            else:
+                yield imgs, targets
 
 
 def create_train_state(
@@ -101,7 +117,11 @@ def create_train_state(
 
 
 def make_train_step(model: DBNet, tx):
-    @jax.jit
+    # Donate the trainable state: params + BN stats + AdamW moments are
+    # ~3x the parameter bytes, and without donation XLA holds input AND
+    # output copies across every step (2x peak HBM for state). Callers
+    # always rebind the returned pytrees.
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, images, targets):
         def loss_fn(p):
             out, mutated = model.apply(
@@ -127,18 +147,23 @@ def make_train_step(model: DBNet, tx):
 
 def make_eval_step(model: DBNet):
     @jax.jit
-    def eval_step(params, batch_stats, images, targets):
+    def eval_step(params, batch_stats, images, targets, valid):
         out = model.apply(
             {"params": params, "batch_stats": batch_stats}, images,
             train=False,
         )
-        total, aux = db_loss({k: v[..., 0] for k, v in out.items()}, targets)
-        # on-device confusion counts at 0.5 binarization (trainer.py:92-98)
+        total, aux = db_loss(
+            {k: v[..., 0] for k, v in out.items()}, targets,
+            sample_weight=valid,
+        )
+        # on-device confusion counts at 0.5 binarization (trainer.py:92-98),
+        # masked so tail-padding samples don't double-count
+        w = valid.astype(jnp.float32)[:, None, None]
         pred = (out["probability"][..., 0] > 0.5).astype(jnp.float32)
         tgt = targets["probability_map"]
-        tp = jnp.sum(pred * tgt)
-        fp = jnp.sum(pred * (1 - tgt))
-        fn = jnp.sum((1 - pred) * tgt)
+        tp = jnp.sum(pred * tgt * w)
+        fp = jnp.sum(pred * (1 - tgt) * w)
+        fn = jnp.sum((1 - pred) * tgt * w)
         aux.update({"tp": tp, "fp": fp, "fn": fn})
         return aux
 
@@ -299,12 +324,17 @@ class ModelTrainer:
         self, eval_step, params, batch_stats, data, batch_size, put_batch
     ) -> Dict[str, float]:
         losses, tp, fp, fn = [], 0.0, 0.0, 0.0
-        for imgs, targets in data.batches(batch_size):
+        for imgs, targets, valid in data.batches(
+            batch_size, with_valid=True
+        ):
             imgs_d, tgt_d = put_batch(imgs, targets)
             aux = jax.device_get(
-                eval_step(params, batch_stats, imgs_d, tgt_d)
+                eval_step(params, batch_stats, imgs_d, tgt_d,
+                          jnp.asarray(valid))
             )
-            losses.append(float(aux["loss"]))
+            # weight the running loss mean by real-sample count so the
+            # tail batch contributes proportionally
+            losses.extend([float(aux["loss"])] * int(valid.sum()))
             tp += float(aux["tp"])
             fp += float(aux["fp"])
             fn += float(aux["fn"])

@@ -77,10 +77,17 @@ def encode_tokens(
     texts: List[str], tok: CharTokenizer, max_len: int
 ) -> np.ndarray:
     """Strings -> [B, max_len+1] (<bos> text <eos> <pad>...), one longer
-    than max_len so inputs/targets both span max_len steps."""
+    than max_len so inputs/targets both span max_len steps.
+
+    Texts longer than max_len-1 chars are truncated to keep <eos> in
+    the row: a plain tail-truncation dropped <eos> for full-length
+    strings, training the model that long strings never terminate (at
+    inference it then appended garbage after correct long transcripts
+    until the decode cap).
+    """
     out = np.zeros((len(texts), max_len + 1), np.int32)  # 0 == <pad>
     for i, t in enumerate(texts):
-        ids = tok.encode(t)[: max_len + 1]
+        ids = tok.encode(t[: max_len - 1])  # [bos] + chars + [eos]
         out[i, : len(ids)] = ids
     return out
 

@@ -129,6 +129,7 @@ class VideoProcessor:
         video_path: str,
         target_fps: float,
         src_range: Optional[Tuple[int, int]] = None,
+        strict: bool = False,
     ) -> Generator[Tuple[np.ndarray, int, float], None, None]:
         """Yield (frame, candidate_index, timestamp) for the stride
         candidates whose source frame lies in ``src_range`` (a
@@ -177,6 +178,11 @@ class VideoProcessor:
                 frame_number += 1
         except Exception as e:
             logger.error("Frame extraction failed: %s", e)
+            if strict:
+                # Parallel segment decode: a swallowed mid-segment error
+                # would leave a silent interior gap in the frame stream
+                # (serial truncation at least stops at the error point).
+                raise
             return
         finally:
             cap.release()
@@ -365,6 +371,19 @@ class VideoProcessor:
                         raise _Stopped()
 
         def produce_segment(src_range: Optional[Tuple[int, int]]):
+            try:
+                _produce_segment(src_range)
+            except _Stopped:
+                pass  # consumer abandoned the generator; unwind quietly
+            except Exception as e:
+                # Forward segment failures to the consumer (which raises
+                # them) instead of leaving a silent gap in coverage.
+                try:
+                    put(e)
+                except _Stopped:
+                    pass
+
+        def _produce_segment(src_range: Optional[Tuple[int, int]]):
             buf_frames: List[np.ndarray] = []
             buf_nums: List[int] = []
             buf_ts: List[float] = []
@@ -410,7 +429,8 @@ class VideoProcessor:
                 )
             else:
                 candidates = self._segment_candidates(
-                    video_path, target_fps, src_range
+                    video_path, target_fps, src_range,
+                    strict=src_range is not None,
                 )
             for frame, idx, ts in candidates:
                 if stop.is_set():
@@ -493,7 +513,10 @@ class VideoProcessor:
                         for t in threads:
                             t.join()
             finally:
-                q.put(None)
+                try:
+                    put(None)  # stop-aware: consumer may be gone
+                except _Stopped:
+                    pass
 
         t = threading.Thread(target=coordinator, daemon=True)
         t.start()
@@ -502,6 +525,8 @@ class VideoProcessor:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
