@@ -88,7 +88,7 @@ def test_max_tasks_per_child_recycles():
         # each recycle is a full interpreter spawn (+imports), which can
         # take tens of seconds on a loaded 1-core CI host — budget each
         # get generously or the test flakes under a parallel suite.
-        pids = [q.tasks["whoami"].delay().get(timeout=180) for _ in range(4)]
+        pids = [q.tasks["whoami"].delay().get(timeout=300) for _ in range(4)]
         assert len(set(pids)) >= 2, pids
     finally:
         q.shutdown()

@@ -150,8 +150,34 @@ else:  # pragma: no cover - plain-object fallback when pydantic is missing
                 profile_trace_dir="",
             )
             for k, v in defaults.items():
+                if k in kw:
+                    setattr(self, k, kw[k])
+                    continue
                 env = os.environ.get(k.upper())
-                setattr(self, k, kw.get(k, env if env is not None else v))
+                setattr(self, k, v if env is None else _coerce(env, v))
+
+
+def _coerce(raw: str, default):
+    """Coerce an env string to the default's type (what pydantic
+    BaseSettings does on the reference path — this fallback is the
+    ACTIVE path when pydantic is absent). Without it MAX_FILE_SIZE=...
+    lands as a string and every size/arithmetic comparison 500s, and
+    DEBUG=false turns debug ON (non-empty string is truthy)."""
+    if isinstance(default, bool):
+        return raw.strip().lower() in ("1", "true", "yes", "on")
+    if isinstance(default, int) and not isinstance(default, bool):
+        try:
+            return int(raw)
+        except ValueError:
+            return default
+    if isinstance(default, float):
+        try:
+            return float(raw)
+        except ValueError:
+            return default
+    if isinstance(default, list):
+        return [p.strip() for p in raw.split(",") if p.strip()]
+    return raw
 
 
 settings = Settings()

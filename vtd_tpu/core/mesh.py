@@ -119,8 +119,20 @@ def active_mesh(mesh: Mesh):
 
 
 def local_batch_slice(global_batch: int, mesh: Mesh) -> Tuple[int, int]:
-    """(start, size) of this process's slice of a data-sharded batch."""
+    """(start, size) of this PROCESS's slice of a data-sharded batch.
+
+    A process feeds all of its local devices, so the share is
+    proportional to how many of the mesh's data-axis devices live here
+    — indexing by process with a per-DEVICE share (the old math) gave a
+    1-process/4-chip host a quarter of its batch and made multi-host
+    slices overlap."""
     n_data = mesh.shape[DATA_AXIS]
-    per = global_batch // n_data
-    idx = jax.process_index()
-    return idx * per, per
+    per_row = global_batch // n_data
+    rows = mesh.devices.reshape(n_data, -1)
+    mine = [
+        i for i in range(n_data)
+        if rows[i, 0].process_index == jax.process_index()
+    ]
+    if not mine:
+        return 0, 0
+    return min(mine) * per_row, len(mine) * per_row

@@ -218,7 +218,11 @@ async function loadResults(){
 }
 async function downloadCSV(){
   const vid = resvid.value; if(!vid) return;
-  const {body} = await jfetch(api(`/processing/videos/${vid}/results?format=csv`));
+  const {status, body} = await jfetch(api(`/processing/videos/${vid}/results?format=csv`));
+  if(status !== 200 || !body || body.content === undefined){
+    alert('CSV export failed: ' + ((body&&body.detail) || ('HTTP '+status)));
+    return;
+  }
   const blob = new Blob([body.content],{type:'text/csv'});
   const a = document.createElement('a');
   a.href = URL.createObjectURL(blob); a.download=`video_${vid}_results.csv`; a.click();

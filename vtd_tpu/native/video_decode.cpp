@@ -157,7 +157,12 @@ int vtd_vd_seek(void *h, int64_t target) {
   AVStream *st = d->fmt->streams[d->stream_index];
   AVRational r = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
   if (!r.num || !r.den) return -1;
-  int64_t ts = av_rescale_q(target, av_inv_q(r), st->time_base);
+  // Frame indices are relative to the stream's first pts: containers
+  // with edit lists / TS streams start at a nonzero start_time, and
+  // ignoring it would mislabel every post-seek frame by
+  // start_time*fps (overlapping/skipped parallel-decode segments).
+  int64_t start = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
+  int64_t ts = start + av_rescale_q(target, av_inv_q(r), st->time_base);
   if (av_seek_frame(d->fmt, d->stream_index, ts, AVSEEK_FLAG_BACKWARD) < 0)
     return -1;
   avcodec_flush_buffers(d->codec);
@@ -171,7 +176,8 @@ int vtd_vd_seek(void *h, int64_t target) {
     int64_t pts = d->frame->best_effort_timestamp;
     int64_t idx = pts == AV_NOPTS_VALUE
                       ? target  // no pts: assume we landed exactly
-                      : av_rescale_q(pts, st->time_base, av_inv_q(r));
+                      : av_rescale_q(pts - start, st->time_base,
+                                     av_inv_q(r));
     if (idx >= target) {
       d->next_src = idx;
       // This frame is still buffered in d->frame; mark it pending by

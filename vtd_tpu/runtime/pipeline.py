@@ -611,7 +611,12 @@ class VideoTextPipeline:
             # emitting text='' detections on text-dense batches.
             n_valid = int(np.count_nonzero(valid))
             budget = self._effective_rec_budget(b)
-            if n_valid > budget and not self._rec_budget_warned:
+            # two_stage recognizes every slot (no budget applies there)
+            if (
+                n_valid > budget
+                and self.parallel_mode != "two_stage"
+                and not self._rec_budget_warned
+            ):
                 self._rec_budget_warned = True
                 logger.warning(
                     "batch has %d valid detections but the recognition "

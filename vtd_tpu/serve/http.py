@@ -389,8 +389,26 @@ class App:
 
     def handle(self, request: Request) -> Response:
         def endpoint(req: Request) -> Response:
-            handler = self._find(req)
-            return handler(req)
+            # HTTPException -> Response INSIDE the middleware chain, so
+            # 4xx/auth errors still get CORS + security headers, access
+            # logging, and metrics (FastAPI parity: its exception
+            # handlers run inside the middleware stack; converting only
+            # in the outer catch left error responses undecorated and
+            # invisible to http_requests_total).
+            try:
+                handler = self._find(req)
+                return handler(req)
+            except HTTPException as exc:
+                # FastAPI-compatible body (reference app/main.py:108-121)
+                return Response(
+                    exc.status_code,
+                    {
+                        "detail": exc.detail,
+                        "status_code": exc.status_code,
+                        "path": req.path,
+                    },
+                    headers=exc.headers,
+                )
 
         call = endpoint
         for mw in self.middleware:
@@ -399,7 +417,7 @@ class App:
         try:
             return call(request)
         except HTTPException as exc:
-            # FastAPI-compatible error body (reference app/main.py:108-121)
+            # raised by a middleware itself — safety net
             return Response(
                 exc.status_code,
                 {
@@ -442,9 +460,29 @@ class _HTTPHandler(BaseHTTPRequestHandler):
                     break
                 body_file.write(chunk)
                 remaining -= len(chunk)
+            if remaining > 0:
+                # Client disconnected mid-body: a truncated upload must
+                # NOT reach the handler (it would be stored as a valid
+                # video and fail later at decode). Starlette raises
+                # ClientDisconnect here; the socket is dead, so just
+                # drop the connection.
+                logger.warning(
+                    "client disconnected %d bytes into a %d-byte body",
+                    length - remaining, length,
+                )
+                body_file.close()
+                self.close_connection = True
+                return
             body_file.seek(0)
         elif length:
             body = self.rfile.read(length)
+            if len(body) < length:
+                logger.warning(
+                    "client disconnected %d bytes into a %d-byte body",
+                    len(body), length,
+                )
+                self.close_connection = True
+                return
         request = Request(
             method=self.command,
             path=parsed.path,
