@@ -382,6 +382,22 @@ def test_security_and_cors_headers(client):
     assert "X-Process-Time" in r.headers
 
 
+def test_error_responses_are_middleware_decorated(client):
+    """4xx responses must flow through the middleware onion: CORS +
+    security headers and X-Process-Time on errors too (FastAPI runs
+    exception handlers inside the middleware stack; a 401 without
+    Access-Control-Allow-Origin shows up in browsers as an opaque CORS
+    failure instead of an auth error)."""
+    r = client.get("/api/v1/auth/me")  # no token -> 401
+    assert r.status_code == 401
+    assert r.headers["Access-Control-Allow-Origin"] == "*"
+    assert r.headers["X-Content-Type-Options"] == "nosniff"
+    assert "X-Process-Time" in r.headers
+    r2 = client.get("/api/v1/does-not-exist")
+    assert r2.status_code == 404
+    assert r2.headers["Access-Control-Allow-Origin"] == "*"
+
+
 def test_schema_migrations_applied(client):
     from vtd_tpu.serve.db.database import get_database
     from vtd_tpu.serve.db.migrations import MIGRATIONS, current_version
