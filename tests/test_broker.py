@@ -130,6 +130,48 @@ def test_revoke_via_broker(tmp_path):
     assert br.get_state("t1")["state"] == "REVOKED"
 
 
+def test_claim_order_is_fifo_by_enqueue_time(tmp_path):
+    """uuid filenames sort randomly — claims must follow enqueue order
+    (mtime) or a task can be starved behind later tasks with smaller
+    uuids."""
+    import os
+    import time
+
+    from vtd_tpu.serve.broker import FileBroker
+
+    br = FileBroker(str(tmp_path), "w")
+    ids = ["zzz-first", "aaa-second", "mmm-third"]  # adversarial names
+    for i, tid in enumerate(ids):
+        br.enqueue(tid, "work", (), {})
+        # force distinct mtimes regardless of filesystem resolution
+        os.utime(br._p("pending", tid), (i, i))
+    claimed = [br.claim()["id"] for _ in ids]
+    for tid in claimed:
+        br.finish(tid)
+    assert claimed == ids
+
+
+def test_finish_cleans_revoke_marker_and_gc_expires_state(tmp_path):
+    import os
+
+    from vtd_tpu.serve.broker import FileBroker
+
+    br = FileBroker(str(tmp_path), "w", result_ttl=0.0)
+    br.enqueue("t1", "work", (), {})
+    br.revoke("t1")
+    assert br.is_revoked("t1")
+    br.finish("t1")
+    assert not br.is_revoked("t1")  # marker removed with the task
+
+    br.set_state("t2", {"state": "SUCCESS"})
+    # age the state file past the (zero) ttl and run the sweep
+    p = br._p("state", "t2")
+    os.utime(p, (0, 0))
+    br._last_gc = 0.0
+    br._gc_expired(now=10_000_000.0)
+    assert br.get_state("t2") is None
+
+
 def test_init_distributed_noop_without_env(monkeypatch):
     from vtd_tpu.core import mesh
 
