@@ -92,9 +92,29 @@ def synthesize_text_lines(
     return images, texts
 
 
-def make_crnn_train_step(model: CRNN, tx):
+def make_crnn_train_step(model: CRNN, tx, augment: bool = False):
+    """``augment=True``: on-device photometric jitter (per-sample
+    contrast/brightness + gaussian noise on the [0,1] crops) — free on
+    TPU and the defense against memorizing a fixed synthetic set (same
+    treatment as the TrOCR trainer)."""
+
     @jax.jit
-    def step(params, batch_stats, opt_state, images, labels, label_pad):
+    def step(params, batch_stats, opt_state, images, labels, label_pad,
+             key):
+        if augment:
+            kc, kb, kn = jax.random.split(key, 3)
+            b = images.shape[0]
+            contrast = jax.random.uniform(
+                kc, (b, 1, 1, 1), minval=0.8, maxval=1.2
+            )
+            brightness = jax.random.uniform(
+                kb, (b, 1, 1, 1), minval=-0.12, maxval=0.12
+            )
+            noise = 0.03 * jax.random.normal(kn, images.shape)
+            images = jnp.clip(
+                images * contrast + brightness + noise, 0.0, 1.0
+            )
+
         def loss_fn(p):
             logits, mutated = model.apply(
                 {"params": p, "batch_stats": batch_stats},
@@ -149,7 +169,9 @@ class RecognizerTrainer:
                 weight_decay=float(cfg.get("weight_decay", 1e-5)),
             )
             opt_state = tx.init(params)
-            step = make_crnn_train_step(model, tx)
+            augment = bool(cfg.get("augment", True))
+            step = make_crnn_train_step(model, tx, augment=augment)
+            aug_key = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 11)
 
             labels, pads = encode_labels(texts)
             n = len(images)
@@ -161,11 +183,13 @@ class RecognizerTrainer:
                 losses = []
                 for i in range(0, n - batch_size + 1, batch_size):
                     sel = perm[i:i + batch_size]
+                    aug_key, k = jax.random.split(aug_key)
                     params, batch_stats, opt_state, loss = step(
                         params, batch_stats, opt_state,
                         jnp.asarray(images[sel]),
                         jnp.asarray(labels[sel]),
                         jnp.asarray(pads[sel]),
+                        k,
                     )
                     losses.append(float(loss))
                 rec = {

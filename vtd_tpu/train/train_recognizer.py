@@ -27,6 +27,10 @@ def main(argv=None) -> dict:
     parser.add_argument("--weight-decay", type=float, default=1e-5)
     parser.add_argument("--checkpoint-dir", default="./checkpoints/crnn")
     parser.add_argument(
+        "--no-augment", action="store_true",
+        help="disable on-device photometric augmentation",
+    )
+    parser.add_argument(
         "--data", default="", help="npz with images [N,32,128,3] + texts"
     )
     args = parser.parse_args(argv)
@@ -49,6 +53,7 @@ def main(argv=None) -> dict:
             "batch_size": args.batch_size,
             "learning_rate": args.learning_rate,
             "weight_decay": args.weight_decay,
+            "augment": not args.no_augment,
         }
     )
     result = trainer.train(
