@@ -352,8 +352,42 @@ def bench_config5() -> None:
     )
 
 
+_CONFIG_METRICS = {
+    1: "dbnet_single_frame_detect_fps",
+    2: "crnn_ctc_crops_per_sec",
+    3: "e2e_720p_ocr_frames_per_sec_per_chip",
+    4: "e2e_1080p_keyframe_ocr_fps",
+    5: "multistream_aggregate_fps",
+}
+
+
+def _emit_failure(metric: str, error: str, detail: str = "") -> None:
+    """One structured JSON line so a failed run is still a diagnosable
+    driver artifact (round-3's relay outage produced rc=1/parsed=null —
+    a 30-frame traceback instead of data)."""
+    out = {
+        "metric": metric,
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+        "error": error,
+    }
+    if detail:
+        out["detail"] = detail[-800:]
+    print(json.dumps(out))
+    sys.stdout.flush()
+
+
+def _run_config(args) -> None:
+    if args.device_resident and args.config == 3:
+        return bench_config3_device_resident()
+    [None, bench_config1, bench_config2, bench_config3, bench_config4,
+     bench_config5][args.config]()
+
+
 def main() -> None:
     import argparse
+    import subprocess
 
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -365,11 +399,67 @@ def main() -> None:
         help="config 3 with frames staged on-device first (isolates "
              "device throughput from the dev-tunnel host link)",
     )
+    parser.add_argument(
+        "--_inner", action="store_true", help=argparse.SUPPRESS
+    )
     args = parser.parse_args()
+    metric = _CONFIG_METRICS[args.config]
     if args.device_resident and args.config == 3:
-        return bench_config3_device_resident()
-    [None, bench_config1, bench_config2, bench_config3, bench_config4,
-     bench_config5][args.config]()
+        metric = "e2e_720p_ocr_fps_device_resident"
+
+    if args._inner:
+        # Actual measurement; environmental backend failures (relay died
+        # mid-run) still produce one structured line.
+        from vtd_tpu.core.tpu_preflight import is_backend_unreachable_error
+
+        try:
+            _run_config(args)
+        except Exception as e:  # noqa: BLE001
+            if is_backend_unreachable_error(e):
+                _emit_failure(metric, "tpu_unreachable", str(e))
+                return
+            raise
+        return
+
+    # Outer shell: preflight the accelerator without risking a hang,
+    # then run the measurement under a deadline so a mid-run runtime
+    # wedge still yields a parseable artifact instead of rc=124.
+    from vtd_tpu.core.tpu_preflight import bounded_device_count
+
+    if bounded_device_count() == 0:
+        _emit_failure(metric, "tpu_unreachable")
+        return
+    deadline = float(os.environ.get("VTD_BENCH_DEADLINE", "1380"))
+    cmd = [sys.executable, os.path.abspath(__file__), "--_inner",
+           "--config", str(args.config)]
+    if args.device_resident:
+        cmd.append("--device-resident")
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=deadline
+        )
+    except subprocess.TimeoutExpired as e:
+        tail = e.stderr or ""
+        if isinstance(tail, bytes):
+            tail = tail.decode(errors="replace")
+        _emit_failure(metric, "bench_deadline_exceeded", tail)
+        return
+    sys.stderr.write(proc.stderr)
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    emitted = False
+    for ln in lines:
+        try:
+            parsed = json.loads(ln)
+            emitted = isinstance(parsed, dict) and "metric" in parsed
+        except ValueError:
+            continue
+        print(ln)
+        sys.stdout.flush()
+    if proc.returncode != 0 and not emitted:
+        _emit_failure(
+            metric, "bench_crashed", proc.stderr[-800:]
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":
