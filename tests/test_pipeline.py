@@ -261,3 +261,103 @@ def test_f32_pack_above_f16_safe_input(monkeypatch, text_image):
         for d in dets:
             x1, y1, x2, y2 = d["bbox"]
             assert 0 <= x1 <= x2 and 0 <= y1 <= y2
+
+
+@pytest.fixture(scope="module")
+def tail_padded_video(tmp_path_factory):
+    """0.6-second clip whose 10-fps sampling yields 6 frames -> a full
+    4-frame batch plus a tail batch of 2 real + 2 padding frames. The
+    final sampled frame is text-dense so its padding duplicates generate
+    budget-competing detections."""
+    path = str(tmp_path_factory.mktemp("vid") / "tail.mp4")
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (320, 240)
+    )
+    for i in range(18):
+        frame = np.full((240, 320, 3), 255, np.uint8)
+        if i >= 15:  # the last sampled frame (15): dense text
+            for row, t in enumerate(["ALPHA BETA", "GAMMA DELTA", "EPSILON"]):
+                cv2.putText(
+                    frame, t, (20, 60 + 60 * row),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.9, (0, 0, 0), 2,
+                )
+        else:  # sparse frames
+            cv2.putText(
+                frame, "HI", (130, 120),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.6, (40, 40, 40), 1,
+            )
+        writer.write(frame)
+    writer.release()
+    return path
+
+
+def test_process_video_dispatches_frame_validity(sample_video):
+    """Regression: the process_video dispatcher thread must pass each
+    batch's valid mask into the fused program (round 3 shipped the mask
+    but only plumbed it through process_batch; the video path silently
+    treated tail padding as real frames)."""
+    from vtd_tpu.runtime import VideoTextPipeline
+
+    pipe = VideoTextPipeline(
+        use_transformer_ocr=False, batch_size=4, max_dets=16,
+        detector_input_size=160, recognizer_kwargs={"pad_batch": 32},
+    )
+    seen = []
+    orig = pipe._dispatch_batch
+
+    def spy(frames, confidence_threshold=None, valid_frames=None):
+        seen.append(valid_frames)
+        return orig(
+            frames, confidence_threshold=confidence_threshold,
+            valid_frames=valid_frames,
+        )
+
+    pipe._dispatch_batch = spy
+    result = asyncio.run(pipe.process_video(sample_video, ""))
+    assert result["status"] == "success"
+    assert seen, "dispatcher never ran"
+    assert all(v is not None for v in seen), (
+        "a dispatched batch lost its frame-validity mask"
+    )
+    # the clip is 90 frames @ 30fps sampled at 10fps -> 30 frames ->
+    # 7 full/partial batches of 4; the last has 2 real + 2 padding
+    assert seen[-1].dtype == bool
+    assert not seen[-1].all(), "tail batch should contain padding frames"
+
+
+def test_process_video_tail_budget_transcripts(tail_padded_video):
+    """Black-box version via the public video path: with rec_budget set
+    exactly to the densest batch's real-detection count, tail-padding
+    duplicates must not steal recognition slots — every detection the
+    full-budget run transcribes keeps its transcript."""
+    from vtd_tpu.runtime import VideoTextPipeline
+
+    kwargs = dict(
+        use_transformer_ocr=False, batch_size=4, max_dets=16,
+        detector_input_size=160, recognizer_kwargs={"pad_batch": 32},
+        target_fps=10.0,
+    )
+    full = VideoTextPipeline(rec_budget=4 * 16, **kwargs)
+    base = asyncio.run(full.process_video(tail_padded_video, ""))
+    assert base["status"] == "success"
+    results = sorted(base["results"], key=lambda r: r["frame_number"])
+    assert len(results) == 6
+    # per-batch real detection totals under 10-fps sampling: frames
+    # [0,3,6,9] then tail [12,15]
+    batch_counts = [
+        sum(len(r["detections"]) for r in results[:4]),
+        sum(len(r["detections"]) for r in results[4:]),
+    ]
+    assert results[-1]["detections"], "dense final frame detected nothing"
+    budget = max(batch_counts)
+    tight = VideoTextPipeline(rec_budget=budget, **kwargs)
+    out = asyncio.run(tight.process_video(tail_padded_video, ""))
+    assert out["status"] == "success"
+    tight_results = sorted(out["results"], key=lambda r: r["frame_number"])
+    assert [
+        [(d["text"], d["bbox"]) for d in r["detections"]]
+        for r in tight_results
+    ] == [
+        [(d["text"], d["bbox"]) for d in r["detections"]]
+        for r in results
+    ]

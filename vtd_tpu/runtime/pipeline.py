@@ -899,10 +899,15 @@ class VideoTextPipeline:
                             )
                             if v
                         )
+                        # valid_frames must ride along: without it the
+                        # fused program treats tail-padding duplicates as
+                        # real frames and they consume rec_budget slots
+                        # that belong to real detections.
                         handles = (
                             None if already_done
                             else self._dispatch_batch(
-                                batch["frames"], confidence_threshold=thr
+                                batch["frames"], confidence_threshold=thr,
+                                valid_frames=batch["valid"],
                             )
                         )
                         while not stop_evt.is_set():
