@@ -278,3 +278,52 @@ def test_testclient_upload_still_works(tmp_path):
                data={"category": "other"})
     assert r.status_code == 200
     assert r.json() == {"n": "a.mp4", "len": 1000}
+
+
+def test_oversized_form_field_rejected_bounded_ram():
+    """A multi-GB NON-file field part must be rejected at the 64 KB cap
+    with bounded RAM, not buffered O(Content-Length) into a BytesIO
+    (file parts spool to disk; plain fields previously did not)."""
+    import pytest
+
+    from vtd_tpu.serve.http import HTTPException
+
+    class _FieldFlood:
+        """A valid part header for a plain field, then endless bytes."""
+
+        def __init__(self, total):
+            self.head = (
+                b"--bnd\r\nContent-Disposition: form-data; "
+                b"name=\"category\"\r\n\r\n"
+            )
+            self.left = total
+
+        def read(self, n=-1):
+            n = n if n and n > 0 else 65536
+            if self.head:
+                out, self.head = self.head[:n], self.head[n:]
+                return out
+            take = min(self.left, n)
+            self.left -= take
+            return b"x" * take
+
+    import tracemalloc
+
+    tracemalloc.start()
+    with pytest.raises(HTTPException) as ei:
+        parse_multipart_stream(
+            _FieldFlood(256 * 1024 * 1024),
+            "multipart/form-data; boundary=bnd",
+        )
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert ei.value.status_code == 400
+    assert peak < 8 * 1024 * 1024, f"peak {peak/1e6:.0f} MB"
+
+
+def test_form_field_under_cap_still_parses():
+    payload = b"y" * 60_000  # under the 64 KB field cap
+    body, ctype = _mp_body([("note", None, payload.decode())])
+    fields, files = parse_multipart_stream(io.BytesIO(body), ctype)
+    assert fields["note"] == payload.decode()
+    assert files == {}

@@ -75,3 +75,47 @@ def test_health_endpoints_in_app(tmp_path, monkeypatch):
     assert client.get("/health/detailed").status_code == 200
     assert client.get("/health/ready").status_code == 200
     assert client.get("/health/live").status_code == 200
+
+
+def test_accelerator_probe_single_outstanding(monkeypatch):
+    """A wedged runtime must leak at most ONE probe thread: while a
+    probe is stuck, later polls report unhealthy immediately instead of
+    stacking threads and queued device programs."""
+    import threading
+    import time
+
+    from vtd_tpu.obs.health import HealthCheck
+
+    hc = HealthCheck()
+    release = threading.Event()
+
+    class _StuckThread(threading.Thread):
+        """Stands in for a probe blocked in block_until_ready."""
+
+        def __init__(self, target=None, daemon=None):
+            super().__init__(target=lambda: release.wait(10), daemon=True)
+
+    monkeypatch.setattr(
+        "vtd_tpu.obs.health.threading.Thread", _StuckThread
+    )
+    # shorten the join deadline via a wrapper: call the real check but
+    # don't wait 10 s — patch Thread.join to time out instantly
+    orig_join = threading.Thread.join
+    monkeypatch.setattr(
+        threading.Thread, "join",
+        lambda self, timeout=None: orig_join(self, 0.05),
+    )
+    try:
+        first = asyncio.run(hc.check_accelerator())
+        assert first["status"] == "unhealthy"
+        assert "timed out" in first["error"]
+        n_before = threading.active_count()
+        second = asyncio.run(hc.check_accelerator())
+        assert second["status"] == "unhealthy"
+        assert "outstanding" in second["error"]
+        assert threading.active_count() == n_before  # no new thread
+    finally:
+        release.set()
+        monkeypatch.undo()
+        time.sleep(0.05)
+        type(hc)._probe_thread = None

@@ -135,4 +135,13 @@ def local_batch_slice(global_batch: int, mesh: Mesh) -> Tuple[int, int]:
     ]
     if not mine:
         return 0, 0
+    if mine != list(range(min(mine), min(mine) + len(mine))):
+        # A (start, size) pair can only describe a contiguous block; an
+        # interleaved per-process device order would silently yield an
+        # overlapping/missing slice.
+        raise ValueError(
+            "this process's data-axis rows are not contiguous "
+            f"({mine}); build the mesh with per-process devices grouped "
+            "along the data axis"
+        )
     return min(mine) * per_row, len(mine) * per_row

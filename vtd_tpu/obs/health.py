@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 import time
 from typing import Any, Callable, Dict, Optional
 
@@ -114,6 +115,14 @@ class HealthCheck:
             "(running random-init)",
         )
 
+    # A wedged runtime blocks the probe thread in block_until_ready
+    # forever; periodic health polling must not stack a new leaked
+    # thread (plus a queued device program) per poll — at most ONE
+    # probe is ever outstanding, and later polls report unhealthy
+    # immediately while it is stuck.
+    _probe_lock = threading.Lock()
+    _probe_thread = None
+
     async def check_accelerator(self) -> Dict[str, Any]:
         """TPU-native addition: devices visible AND a trivial program
         completes within a deadline. Listing devices alone reads a
@@ -122,27 +131,36 @@ class HealthCheck:
         device tunnels), so the probe runs a tiny jitted op in a helper
         thread and reports unhealthy on timeout rather than hanging the
         health endpoint."""
-        import threading
+        cls = type(self)
+        with cls._probe_lock:
+            if cls._probe_thread is not None and cls._probe_thread.is_alive():
+                return _bad(
+                    "accelerator probe still outstanding (runtime wedged?)"
+                )
 
-        result: Dict[str, Any] = {}
+            result: Dict[str, Any] = {}
 
-        def _probe():
-            try:
-                import jax
-                import jax.numpy as jnp
+            def _probe():
+                try:
+                    import jax
+                    import jax.numpy as jnp
 
-                devs = jax.devices()
-                y = jax.jit(lambda a: a + 1)(jnp.float32(1.0))
-                jax.block_until_ready(y)
-                result["devices"] = [str(d) for d in devs]
-            except Exception as e:  # noqa: BLE001
-                result["error"] = str(e)
+                    devs = jax.devices()
+                    y = jax.jit(lambda a: a + 1)(jnp.float32(1.0))
+                    jax.block_until_ready(y)
+                    result["devices"] = [str(d) for d in devs]
+                except Exception as e:  # noqa: BLE001
+                    result["error"] = str(e)
 
-        t = threading.Thread(target=_probe, daemon=True)
-        t.start()
+            t = threading.Thread(target=_probe, daemon=True)
+            cls._probe_thread = t
+            t.start()
         t.join(timeout=10.0)
         if t.is_alive():
             return _bad("accelerator probe timed out (runtime wedged?)")
+        with cls._probe_lock:
+            if cls._probe_thread is t:
+                cls._probe_thread = None
         if "error" in result:
             return _bad(result["error"])
         devs = result.get("devices", [])

@@ -18,6 +18,7 @@ from __future__ import annotations
 import asyncio
 import logging
 import os
+import threading
 import uuid
 from datetime import datetime
 from pathlib import Path
@@ -399,6 +400,12 @@ def create_app(
         VideoCRUD.delete(get_database(), video["id"])
         return Response(204, None)
 
+    # Per-video locks so concurrent requests for the same uncached S3
+    # video fetch once; the download lands under a temp name and is
+    # os.rename'd into place so a reader can never see a partial file.
+    _s3cache_locks: Dict[str, threading.Lock] = {}
+    _s3cache_locks_guard = threading.Lock()
+
     def _local_video_path(video: Dict[str, Any]) -> str:
         """file_path usable by os/cv2/ffmpeg: S3-stored videos (the
         worker task already pulls them the same way) are fetched to a
@@ -410,9 +417,22 @@ def create_app(
         cached = os.path.join(
             settings.temp_dir, f"s3cache_{video['id']}{ext}"
         )
-        if not os.path.exists(cached):
-            os.makedirs(settings.temp_dir, exist_ok=True)
-            _run(storage_service.retrieve_video(path, cached))
+        if os.path.exists(cached):
+            return cached
+        with _s3cache_locks_guard:
+            lock = _s3cache_locks.setdefault(
+                str(video["id"]), threading.Lock()
+            )
+        with lock:
+            if not os.path.exists(cached):
+                os.makedirs(settings.temp_dir, exist_ok=True)
+                tmp = f"{cached}.dl{os.getpid()}.{threading.get_ident()}"
+                try:
+                    _run(storage_service.retrieve_video(path, tmp))
+                    os.rename(tmp, cached)  # atomic on POSIX
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
         return cached
 
     @app.get("/api/v1/videos/{video_id}/download")

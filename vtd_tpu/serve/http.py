@@ -267,6 +267,10 @@ def parse_multipart_stream(
 
         # Part body: everything up to "\n--boundary" (covers CRLF and
         # bare-LF framing; a trailing \r before the cut is framing too).
+        # Non-file fields stay in RAM, so they get the same 64 KB cap as
+        # the header block — a multi-GB field part must not buffer
+        # O(Content-Length) in the BytesIO (file parts spool to disk).
+        field_cap = None if is_file else 65536
         delim = b"\n" + boundary
         while True:
             j = buf.find(delim)
@@ -282,11 +286,15 @@ def parse_multipart_stream(
                 sink.write(buf[:-keep])
                 size += len(buf) - keep
                 buf = buf[-keep:]
+            if field_cap is not None and size > field_cap:
+                raise HTTPException(400, "Multipart form field too large")
             if not fill():
                 sink.write(buf)
                 size += len(buf)
                 buf = b""
                 break
+        if field_cap is not None and size > field_cap:
+            raise HTTPException(400, "Multipart form field too large")
 
         if name_m:
             name = name_m.group(1)
