@@ -119,11 +119,13 @@ def _public_user(user: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def create_app(
-    start_worker: bool = True, rate_limit_store=None
+    start_worker: bool = True, rate_limit_store=None, storage_service=None
 ) -> App:
+    """``storage_service`` injects a pre-built StorageService (tests
+    pass one wired to a stub S3 client); None builds from settings."""
     app = App()
     video_service = VideoService()
-    storage_service = StorageService()
+    storage_service = storage_service or StorageService()
     processing_service = ProcessingService()
 
     def startup():

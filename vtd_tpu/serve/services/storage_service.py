@@ -15,7 +15,7 @@ import shutil
 import time
 from datetime import datetime, timezone
 from pathlib import Path
-from typing import Optional
+from typing import Any, Optional
 
 from ...core.config import settings
 
@@ -30,10 +30,18 @@ except ImportError:
 
 
 class StorageService:
-    def __init__(self, base_dir: Optional[str] = None):
+    def __init__(
+        self, base_dir: Optional[str] = None, s3_client: Optional[Any] = None
+    ):
+        """``s3_client`` injects a ready client (the boto3 S3 client
+        surface: upload_file/download_file/delete_object/head_object) —
+        tests use a dict-backed stub; production passes None and the
+        client is built from settings when an S3 bucket is configured."""
         self.use_s3 = bool(settings.s3_bucket_name)
         self.base_dir = Path(base_dir or "./uploads")
-        if self.use_s3:
+        if s3_client is not None:
+            self.s3 = s3_client
+        elif self.use_s3:
             if not _HAVE_BOTO:
                 raise RuntimeError(
                     "S3 storage selected but boto3 is not installed"
