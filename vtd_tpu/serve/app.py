@@ -27,6 +27,8 @@ from typing import Any, Dict, Optional
 from ..core.config import settings
 from .auth import create_access_token, get_current_active_user, get_current_user
 from .db import (
+    ModelVersionCreate,
+    ModelVersionCRUD,
     ProcessingJobCreate,
     ProcessingJobCRUD,
     UserCreate,
@@ -605,6 +607,39 @@ def create_app(
             filename=f"annotated_{video['original_filename']}",
             media_type="video/mp4",
         )
+
+    # ======================= model registry ================================
+    # The reference defines the model_versions table but never reads it
+    # (reference app/database/models.py:122-136, crud.py:135-158 — dead
+    # code). Here the registry is WIRED: the active row per model_type
+    # picks the checkpoint a worker pipeline loads (serve/tasks.py
+    # get_pipeline), and these admin endpoints manage it.
+    @app.get("/api/v1/models")
+    def list_model_versions(request: Request) -> Response:
+        get_current_active_user(request)
+        mt = request.query.get("model_type")
+        return Response(
+            200, ModelVersionCRUD.get_all(get_database(), mt)
+        )
+
+    @app.post("/api/v1/models")
+    def register_model_version(request: Request) -> Response:
+        get_current_active_user(request)
+        try:
+            mv = ModelVersionCreate(**request.json())
+        except Exception as e:
+            raise HTTPException(422, f"Invalid model version payload: {e}")
+        return Response(201, ModelVersionCRUD.create(get_database(), mv))
+
+    @app.post("/api/v1/models/{model_id}/activate")
+    def activate_model_version(request: Request) -> Response:
+        get_current_active_user(request)
+        mv = ModelVersionCRUD.set_active(
+            get_database(), int(request.path_params["model_id"])
+        )
+        if not mv:
+            raise HTTPException(404, "Model version not found")
+        return Response(200, mv)
 
     return app
 

@@ -25,6 +25,7 @@ from ..core.config import settings
 from .db import (
     FrameCreate,
     FrameCRUD,
+    ModelVersionCRUD,
     ProcessingJobCRUD,
     ProcessingJobUpdate,
     TextDetectionCreate,
@@ -38,10 +39,49 @@ from .services.storage_service import StorageService
 logger = logging.getLogger(__name__)
 
 # Process-wide singletons (tasks/video_processing.py:32-37): models load
-# once per worker process and are reused across jobs.
-_pipelines: Dict[bool, Any] = {}
+# once per worker process and are reused across jobs. Keyed by
+# (use_transformer, active detector version id, active recognizer
+# version id) so activating a new registry row serves the new
+# checkpoint on the next job without a worker restart.
+_pipelines: Dict[Any, Any] = {}
 _pipeline_kwargs: Dict[str, Any] = {}
 storage_service = StorageService()
+
+#: model registry model_type values the pipeline consults
+DETECTOR_TYPE = "detector"
+RECOGNIZER_TYPE = "recognizer"
+RECOGNIZER_TRANSFORMER_TYPE = "recognizer_transformer"
+
+
+def _active_model_versions(use_transformer: bool) -> Dict[str, Any]:
+    """Active model-registry rows whose checkpoint files exist, keyed
+    by role ('detector'/'recognizer'). A missing table, no active row,
+    or a dangling file_path falls back to the standard locations — the
+    registry must never block serving."""
+    out: Dict[str, Any] = {}
+    try:
+        db = get_database()
+        det = ModelVersionCRUD.get_active(db, DETECTOR_TYPE)
+        rec = ModelVersionCRUD.get_active(
+            db,
+            RECOGNIZER_TRANSFORMER_TYPE if use_transformer
+            else RECOGNIZER_TYPE,
+        )
+    except Exception as e:  # noqa: BLE001
+        logger.warning("model registry unavailable: %s", e)
+        return out
+    for role, row in (("detector", det), ("recognizer", rec)):
+        if not row:
+            continue
+        if not os.path.exists(row["file_path"]):
+            logger.warning(
+                "active %s version %s points at missing checkpoint %s; "
+                "falling back to standard location",
+                role, row["version"], row["file_path"],
+            )
+            continue
+        out[role] = row
+    return out
 
 
 def configure_pipeline(**kwargs) -> None:
@@ -53,12 +93,21 @@ def configure_pipeline(**kwargs) -> None:
 
 
 def get_pipeline(use_transformer: bool = False):
+    # Active registry rows override the standard checkpoint locations
+    # (the reference's model_versions table is never read; here the
+    # active version is the serving contract).
+    active = _active_model_versions(use_transformer)
+
     # The transformer recognizer needs trained weights to be useful and
     # there is no hub download in a zero-egress deployment; without a
-    # configured checkpoint (``transformer_path`` kwarg or the standard
+    # configured checkpoint (an active registry row, the
+    # ``transformer_path`` kwarg, or the standard
     # ``<model_path>/text_recognizer_trocr`` location, as written by
     # train.trocr_trainer), fall back to the CRNN engine.
-    trocr_ckpt = _pipeline_kwargs.get("transformer_path") or os.path.join(
+    trocr_ckpt = (
+        (active.get("recognizer") or {}).get("file_path")
+        if use_transformer else None
+    ) or _pipeline_kwargs.get("transformer_path") or os.path.join(
         settings.model_path, "text_recognizer_trocr"
     )
     if use_transformer and not os.path.exists(trocr_ckpt):
@@ -67,19 +116,37 @@ def get_pipeline(use_transformer: bool = False):
             " using CRNN", trocr_ckpt,
         )
         use_transformer = False
-    if use_transformer not in _pipelines:
+        active = _active_model_versions(use_transformer)
+
+    key = (
+        use_transformer,
+        (active.get("detector") or {}).get("id"),
+        (active.get("recognizer") or {}).get("id"),
+    )
+    if key not in _pipelines:
         from ..runtime.pipeline import VideoTextPipeline
+
+        # Drop stale builds of the same engine (superseded versions):
+        # the worker keeps at most one pipeline per engine flavor.
+        for k in [k for k in _pipelines if k[0] == use_transformer]:
+            del _pipelines[k]
 
         kwargs = dict(_pipeline_kwargs)
         kwargs.pop("transformer_path", None)
         kwargs["use_transformer_ocr"] = use_transformer
         if settings.profile_trace_dir:
             kwargs.setdefault("profile_dir", settings.profile_trace_dir)
-        # Standard checkpoint locations under settings.model_path (the
-        # reference loads {model_path}/text_detector.pth etc. and its
-        # health check requires them, health.py:188). Without trained
-        # weights the pipeline would run randomly-initialized models and
-        # emit noise, so wire them whenever present.
+        # Checkpoint resolution order: active registry row, explicit
+        # configure_pipeline kwarg, then the standard location under
+        # settings.model_path (the reference loads
+        # {model_path}/text_detector.pth etc. and its health check
+        # requires them, health.py:188). Without trained weights the
+        # pipeline would run randomly-initialized models and emit
+        # noise, so wire them whenever present.
+        if "detector" in active:
+            kwargs["detector_path"] = active["detector"]["file_path"]
+        if "recognizer" in active and not use_transformer:
+            kwargs["recognizer_path"] = active["recognizer"]["file_path"]
         det_ckpt = os.path.join(settings.model_path, "text_detector")
         if os.path.exists(det_ckpt):
             kwargs.setdefault("detector_path", det_ckpt)
@@ -100,8 +167,18 @@ def get_pipeline(use_transformer: bool = False):
             rec_ckpt = os.path.join(settings.model_path, "text_recognizer")
             if os.path.exists(rec_ckpt):
                 kwargs.setdefault("recognizer_path", rec_ckpt)
-        _pipelines[use_transformer] = VideoTextPipeline(**kwargs)
-    return _pipelines[use_transformer]
+        pipeline = VideoTextPipeline(**kwargs)
+        # Which registry versions (if any) this pipeline serves —
+        # recorded into each job's result_data for provenance.
+        pipeline.model_versions = {
+            role: {
+                "id": row["id"], "name": row["name"],
+                "version": row["version"],
+            }
+            for role, row in active.items()
+        }
+        _pipelines[key] = pipeline
+    return _pipelines[key]
 
 
 @task_queue.task(name="process_video_task", queue="video_processing")
@@ -199,6 +276,10 @@ def process_video_task(self, video_id: int, config: Dict[str, Any]):
         if os.path.exists(resume_file):
             os.unlink(resume_file)
 
+        # Provenance: which registry versions produced this result.
+        model_versions = getattr(pipeline, "model_versions", None)
+        if model_versions:
+            results["model_versions"] = model_versions
         save_results_to_database(db, video_id, results)
         ProcessingJobCRUD.update_by_task_id(
             db,
@@ -249,6 +330,12 @@ def save_results_to_database(db, video_id: int, results: Dict[str, Any]):
     created = FrameCRUD.create_bulk(db, frame_creates)
     frame_map = {f["frame_number"]: f["id"] for f in created}
 
+    # Detection rows carry the serving detector's registry identity
+    # when one is active; the reference hardcodes its model fields the
+    # same way this falls back.
+    det_mv = (results.get("model_versions") or {}).get("detector") or {}
+    model_name = det_mv.get("name", "DBNet-CRNN")
+    model_version = det_mv.get("version", "1.0.0")
     detection_creates = []
     for fr in results["results"]:
         frame_id = frame_map[fr["frame_number"]]
@@ -262,8 +349,8 @@ def save_results_to_database(db, video_id: int, results: Dict[str, Any]):
                     bbox_y1=det["bbox"][1],
                     bbox_x2=det["bbox"][2],
                     bbox_y2=det["bbox"][3],
-                    model_name="DBNet-CRNN",
-                    model_version="1.0.0",
+                    model_name=model_name,
+                    model_version=model_version,
                 )
             )
     if detection_creates:
