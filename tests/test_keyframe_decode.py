@@ -167,3 +167,57 @@ def test_pipeline_stride_mode_unchanged(scene_video, small_pipeline):
     assert result["status"] == "success"
     assert all("duplicate_of" not in r for r in result["results"])
     assert len(result["results"]) == 60
+
+
+def test_native_and_cv2_keyframe_gates_agree(scene_video):
+    """The in-decoder native gate (vtd_vd_read_batch_kf) and the cv2
+    host gate must make equivalent scene-change decisions: identical
+    full coverage, dup references pointing at emitted keyframes, and a
+    keyframe at the hard scene boundary for both."""
+    from vtd_tpu.video import VideoProcessor
+
+    vp = VideoProcessor()
+    out = {}
+    for backend in ("native", "cv2"):
+        kf, dups = _collect(
+            vp.extract_frame_batches(
+                scene_video, batch_size=4, target_fps=10.0,
+                sample_mode="keyframe", keyframe_max_gap=1000,
+                decode_backend=backend,
+            )
+        )
+        out[backend] = (kf, dups)
+        covered = sorted(kf + [fn for fn, _ in dups])
+        assert covered == list(range(60)), backend
+        assert all(ref in kf for _, ref in dups), backend
+        assert any(28 <= k <= 32 for k in kf[1:]), backend
+    # both gates collapse the static halves to a handful of keyframes
+    n_native = len(out["native"][0])
+    n_cv2 = len(out["cv2"][0])
+    assert n_native <= 6 and n_cv2 <= 6, (n_native, n_cv2)
+
+
+def test_native_kf_gate_segment_seek_resets_state(scene_video):
+    """Parallel segment decode opens/seeks per segment; the native gate
+    state must reset so a segment's first candidate is always a
+    keyframe (a stale signature would classify it as a duplicate of a
+    frame the segment never emitted)."""
+    from vtd_tpu.native import video as nv
+
+    r = nv.open_video(scene_video, (320, 240), "yuv420")
+    if r is None:
+        import pytest
+
+        pytest.skip("native decoder unavailable")
+    try:
+        frames, idx, d_idx, d_ref = r.read_batch_kf(3, 8, -1)
+        assert len(frames) >= 1 and idx[0] == 0
+        # jump into the second scene; first emitted frame must be kept
+        r.seek(120)
+        frames2, idx2, d_idx2, d_ref2 = r.read_batch_kf(3, 8, -1)
+        assert len(frames2) >= 1
+        assert idx2[0] == 120
+        # and its dups (static scene) reference it, not a pre-seek frame
+        assert all(ref >= 120 for ref in d_ref2)
+    finally:
+        r.close()

@@ -88,6 +88,15 @@ def _get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.vtd_vd_read_batch_kf.restype = ctypes.c_int
+        lib.vtd_vd_read_batch_kf.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ]
         lib.vtd_vd_close.restype = None
         lib.vtd_vd_close.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -129,6 +138,7 @@ class NativeVideoReader:
             self.out_w &= ~1
             self.out_h &= ~1
         self._hot = 0
+        self._kf_reset = 0
         fps = ctypes.c_double()
         nframes = ctypes.c_int64()
         w = ctypes.c_int()
@@ -145,6 +155,7 @@ class NativeVideoReader:
         if ret < 0:
             raise ValueError(f"seek to frame {src_index} failed ({ret})")
         self._hot = 1  # seek leaves the target frame decoded + pending
+        self._kf_reset = 1  # new segment: scene-change state restarts
 
     def read_batch(self, stride: int, max_frames: int,
                    src_end: int = -1) -> Tuple[np.ndarray, np.ndarray]:
@@ -165,6 +176,43 @@ class NativeVideoReader:
         if n < 0:
             raise RuntimeError(f"native decode error ({n})")
         return out[:n], idx[:n]
+
+    def read_batch_kf(
+        self, stride: int, max_frames: int, src_end: int = -1,
+        kf_diff: float = 4.0, kf_max_gap: int = 20, max_dups: int = 4096,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Keyframe-gated read: returns (frames, src_indices, dup_indices,
+        dup_refs). Near-duplicate candidates (64x36 luma mean-abs-diff
+        below ``kf_diff`` vs the last kept frame, forced keyframe every
+        ``kf_max_gap`` candidates) never cross the ctypes boundary as
+        pixels — only their (source index, covering keyframe index)
+        pair does. EOF when all four arrays are empty."""
+        if self.fmt == 1:
+            out = np.empty((max_frames, self.out_h, self.out_w, 3), np.uint8)
+        else:
+            out = np.empty(
+                (max_frames, self.out_h * 3 // 2, self.out_w), np.uint8
+            )
+        idx = np.empty(max_frames, np.int64)
+        dup_idx = np.empty(max_dups, np.int64)
+        dup_ref = np.empty(max_dups, np.int64)
+        n_dups = ctypes.c_int(0)
+        n = self._lib.vtd_vd_read_batch_kf(
+            self._h, int(stride), int(max_frames), int(src_end), self._hot,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self.out_w, self.out_h, self.fmt,
+            float(kf_diff), int(kf_max_gap), self._kf_reset,
+            dup_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            dup_ref.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            int(max_dups), ctypes.byref(n_dups),
+        )
+        self._hot = 0
+        self._kf_reset = 0
+        if n < 0:
+            raise RuntimeError(f"native decode error ({n})")
+        k = int(n_dups.value)
+        return out[:n], idx[:n], dup_idx[:k], dup_ref[:k]
 
     def close(self) -> None:
         if self._h:

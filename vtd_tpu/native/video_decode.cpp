@@ -31,6 +31,11 @@ extern "C" {
 
 namespace {
 
+// Scene-change signature dims (matches the Python gate's 64x36
+// INTER_AREA thumbnail, video/processor.py::_keyframe_signature).
+constexpr int kSigW = 64;
+constexpr int kSigH = 36;
+
 struct Decoder {
   AVFormatContext *fmt = nullptr;
   AVCodecContext *codec = nullptr;
@@ -44,10 +49,19 @@ struct Decoder {
   AVPixelFormat src_pix = AV_PIX_FMT_NONE;
   bool draining = false;
   bool eof = false;
+  // Keyframe-gate state (persists across read_batch calls so batch
+  // boundaries never reset scene-change detection).
+  SwsContext *sig_sws = nullptr;
+  int sig_src_w = 0, sig_src_h = 0, sig_src_fmt = -1;
+  uint8_t sig_last[kSigW * kSigH];
+  bool sig_valid = false;
+  int64_t last_kf = -1;
+  int since_kf = 0;
 };
 
 void free_decoder(Decoder *d) {
   if (!d) return;
+  if (d->sig_sws) sws_freeContext(d->sig_sws);
   if (d->sws) sws_freeContext(d->sws);
   if (d->frame) av_frame_free(&d->frame);
   if (d->pkt) av_packet_free(&d->pkt);
@@ -226,6 +240,134 @@ int vtd_vd_read_batch(void *h, int stride, int max_frames, int64_t src_end,
 
     if (!d->sws || d->sws_w != out_w || d->sws_h != out_h ||
         d->sws_fmt != (int)want || d->src_pix != (AVPixelFormat)d->frame->format) {
+      if (d->sws) sws_freeContext(d->sws);
+      d->src_pix = (AVPixelFormat)d->frame->format;
+      d->sws = sws_getContext(d->frame->width, d->frame->height, d->src_pix,
+                              out_w, out_h, want, SWS_FAST_BILINEAR, nullptr,
+                              nullptr, nullptr);
+      if (!d->sws) return -2;
+      d->sws_w = out_w;
+      d->sws_h = out_h;
+      d->sws_fmt = (int)want;
+    }
+    uint8_t *dst = out + (size_t)written * frame_bytes;
+    uint8_t *planes[4] = {nullptr, nullptr, nullptr, nullptr};
+    int strides[4] = {0, 0, 0, 0};
+    if (fmt == 1) {
+      planes[0] = dst;
+      strides[0] = out_w * 3;
+    } else {
+      planes[0] = dst;                                  // Y
+      planes[1] = dst + (size_t)out_w * out_h;          // U
+      planes[2] = dst + (size_t)out_w * out_h * 5 / 4;  // V
+      strides[0] = out_w;
+      strides[1] = out_w / 2;
+      strides[2] = out_w / 2;
+    }
+    sws_scale(d->sws, d->frame->data, d->frame->linesize, 0,
+              d->frame->height, planes, strides);
+    src_indices[written] = idx;
+    ++written;
+  }
+  return written;
+}
+
+// Keyframe-gated variant of vtd_vd_read_batch: candidates (every
+// stride-th source frame) whose 64x36 luma thumbnail differs from the
+// last KEPT frame's by a mean abs diff < kf_diff are classified
+// near-duplicates — they never get the full sws_scale or cross into
+// Python as pixels; only (index, keyframe index) pairs do. Mirrors the
+// host gate in video/processor.py (scene-change detection with a
+// forced keyframe every kf_max_gap candidates) but runs on the decoded
+// full-res Y plane BEFORE the ship-size scale, so ~90% of candidates
+// in static footage cost decode + a 64x36 area scale only.
+//
+// Gate state (last kept signature, gap counter, last keyframe index)
+// lives in the Decoder and persists across calls; vtd_vd_seek resets
+// it via kf_reset=1 on the next call when the caller starts a new
+// segment. Duplicate records append to dup_indices/dup_refs (capacity
+// max_dups); the call returns early when either the frame buffer or
+// the dup buffer fills. Returns frames written, with *n_dups set; 0
+// frames AND 0 dups => EOF.
+int vtd_vd_read_batch_kf(void *h, int stride, int max_frames,
+                         int64_t src_end, int hot, uint8_t *out,
+                         int64_t *src_indices, int out_w, int out_h, int fmt,
+                         double kf_diff, int kf_max_gap, int kf_reset,
+                         int64_t *dup_indices, int64_t *dup_refs,
+                         int max_dups, int *n_dups) {
+  Decoder *d = (Decoder *)h;
+  if (stride < 1) stride = 1;
+  if (kf_max_gap < 1) kf_max_gap = 1;
+  if (kf_reset) {
+    d->sig_valid = false;
+    d->last_kf = -1;
+    d->since_kf = 0;
+  }
+  const AVPixelFormat want =
+      fmt == 1 ? AV_PIX_FMT_BGR24 : AV_PIX_FMT_YUV420P;
+  const size_t frame_bytes =
+      fmt == 1 ? (size_t)out_w * out_h * 3 : (size_t)out_w * out_h * 3 / 2;
+  int written = 0;
+  *n_dups = 0;
+  bool use_hot = hot != 0;
+  uint8_t sig[kSigW * kSigH];
+  while (written < max_frames && *n_dups < max_dups) {
+    int64_t idx;
+    if (use_hot) {
+      use_hot = false;
+      idx = d->next_src;
+    } else {
+      int ret = next_frame(d);
+      if (ret == 0) break;
+      if (ret < 0) return ret;
+      idx = d->next_src;
+    }
+    d->next_src = idx + 1;
+    if (src_end >= 0 && idx >= src_end) break;
+    if (idx % stride != 0) continue;
+
+    // 64x36 luma signature of the decoded frame (SWS_AREA ~ cv2
+    // INTER_AREA). Rebuild the tiny context only when the source
+    // geometry changes.
+    if (!d->sig_sws || d->sig_src_w != d->frame->width ||
+        d->sig_src_h != d->frame->height ||
+        d->sig_src_fmt != (int)d->frame->format) {
+      if (d->sig_sws) sws_freeContext(d->sig_sws);
+      d->sig_sws = sws_getContext(
+          d->frame->width, d->frame->height,
+          (AVPixelFormat)d->frame->format, kSigW, kSigH, AV_PIX_FMT_GRAY8,
+          SWS_AREA, nullptr, nullptr, nullptr);
+      if (!d->sig_sws) return -2;
+      d->sig_src_w = d->frame->width;
+      d->sig_src_h = d->frame->height;
+      d->sig_src_fmt = (int)d->frame->format;
+    }
+    uint8_t *splanes[4] = {sig, nullptr, nullptr, nullptr};
+    int sstrides[4] = {kSigW, 0, 0, 0};
+    sws_scale(d->sig_sws, d->frame->data, d->frame->linesize, 0,
+              d->frame->height, splanes, sstrides);
+
+    if (d->sig_valid && d->since_kf < kf_max_gap) {
+      int64_t sad = 0;
+      for (int i = 0; i < kSigW * kSigH; ++i)
+        sad += sig[i] > d->sig_last[i] ? sig[i] - d->sig_last[i]
+                                       : d->sig_last[i] - sig[i];
+      if ((double)sad / (kSigW * kSigH) < kf_diff) {
+        ++d->since_kf;
+        dup_indices[*n_dups] = idx;
+        dup_refs[*n_dups] = d->last_kf;
+        ++*n_dups;
+        continue;
+      }
+    }
+    memcpy(d->sig_last, sig, sizeof(sig));
+    d->sig_valid = true;
+    d->last_kf = idx;
+    d->since_kf = 0;
+
+    if (!d->sws || d->sws_w != out_w || d->sws_h != out_h ||
+        d->sws_fmt != (int)want ||
+        d->src_pix != (AVPixelFormat)d->frame->format) {
       if (d->sws) sws_freeContext(d->sws);
       d->src_pix = (AVPixelFormat)d->frame->format;
       d->sws = sws_getContext(d->frame->width, d->frame->height, d->src_pix,

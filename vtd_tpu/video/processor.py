@@ -237,6 +237,59 @@ class VideoProcessor:
         finally:
             reader.close()
 
+    def _native_candidates_kf(
+        self,
+        video_path: str,
+        target_fps: float,
+        out_size: Tuple[int, int],
+        pixel_format: str,
+        keyframe_diff: float,
+        keyframe_max_gap: int,
+        src_range: Optional[Tuple[int, int]] = None,
+        chunk: int = 8,
+    ) -> Generator[Tuple[str, Any, Any, Any], None, None]:
+        """Keyframe-gated candidate stream with the scene-change gate
+        INSIDE the native decoder (native/video_decode.cpp
+        vtd_vd_read_batch_kf): near-duplicate candidates never cross
+        the ctypes boundary as pixels — no ship-size sws_scale, no
+        numpy copy, no Python-side signature. On static footage ~90% of
+        candidates reduce to decode + a 64x36 luma thumbnail diff.
+
+        Yields ("frame", frame, candidate_index, timestamp) for kept
+        keyframes and ("dup", candidate_index, timestamp,
+        ref_candidate_index) for gated duplicates, in source order
+        within each kind (the consumer's dups list is order-free).
+        """
+        from ..native import video as native_video
+
+        reader = native_video.open_video(video_path, out_size, pixel_format)
+        if reader is None:
+            raise RuntimeError("native video decoder unavailable")
+        try:
+            fps = reader.fps
+            interval = max(1, int(fps / target_fps)) if fps > 0 else 1
+            start, end = src_range if src_range else (0, None)
+            if start:
+                reader.seek(start)
+            src_end = -1 if end is None else int(end)
+            while True:
+                frames, idx, dup_idx, dup_ref = reader.read_batch_kf(
+                    interval, chunk, src_end,
+                    kf_diff=keyframe_diff, kf_max_gap=keyframe_max_gap,
+                )
+                if len(frames) == 0 and len(dup_idx) == 0:
+                    return
+                for k in range(len(frames)):
+                    src = int(idx[k])
+                    ts = src / fps if fps > 0 else 0.0
+                    yield "frame", frames[k], src // interval, ts
+                for k in range(len(dup_idx)):
+                    src, ref = int(dup_idx[k]), int(dup_ref[k])
+                    ts = src / fps if fps > 0 else 0.0
+                    yield "dup", src // interval, ts, ref // interval
+        finally:
+            reader.close()
+
     def extract_frame_batches(
         self,
         video_path: str,
@@ -349,11 +402,10 @@ class VideoProcessor:
             )
             if pixel_format == "yuv420":
                 # I420 needs even dims (the reader enforces the same —
-                # keep this copy in sync or y_rows below disagrees with
-                # the actual frame buffers by one row on odd sources).
+                # an odd dim passed through would disagree with the
+                # actual frame buffers by one row on odd sources).
                 out_size = (out_size[0] & ~1, out_size[1] & ~1)
             native_orig = (native_info["src_h"], native_info["src_w"])
-            y_rows = out_size[1]  # Y-plane rows in an I420-packed frame
 
         class _Stopped(Exception):
             pass
@@ -422,6 +474,29 @@ class VideoProcessor:
             last_sig: Optional[np.ndarray] = None
             last_kf = -1
             since_kf = 0
+            if use_native and sample_mode == "keyframe":
+                # The scene-change gate runs inside the native decoder;
+                # duplicates arrive as (idx, ts, ref) records only.
+                for item in self._native_candidates_kf(
+                    video_path, target_fps, out_size, pixel_format,
+                    keyframe_diff, max_gap, src_range, chunk=batch_size,
+                ):
+                    if stop.is_set():
+                        return
+                    if item[0] == "dup":
+                        _, idx, ts, ref = item
+                        buf_dups.append((idx, ts, ref))
+                        continue
+                    _, frame, idx, ts = item
+                    if not orig_size:
+                        orig_size.append(native_orig)
+                    buf_frames.append(frame)
+                    buf_nums.append(idx)
+                    buf_ts.append(ts)
+                    if len(buf_frames) == batch_size:
+                        flush()
+                flush()
+                return
             if use_native:
                 candidates = self._native_candidates(
                     video_path, target_fps, out_size, pixel_format,
@@ -436,18 +511,9 @@ class VideoProcessor:
                 if stop.is_set():
                     return
                 if sample_mode == "keyframe":
-                    if use_native:
-                        # Native frames arrive already scaled/converted;
-                        # the Y plane (I420) or a gray convert (BGR) of
-                        # the scaled frame drives scene-change detection.
-                        luma = (
-                            frame[:y_rows]
-                            if pixel_format == "yuv420"
-                            else frame
-                        )
-                        sig = self._keyframe_signature(luma)
-                    else:
-                        sig = self._keyframe_signature(frame)
+                    # cv2 path only: the native backend gates keyframes
+                    # inside the decoder (branch above).
+                    sig = self._keyframe_signature(frame)
                     if last_sig is not None and since_kf < max_gap:
                         diff = float(
                             np.abs(sig - last_sig).mean()
