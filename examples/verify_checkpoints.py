@@ -71,6 +71,9 @@ def verify(detector: str, recognizer: str, use_transformer: bool) -> dict:
         "detections": s["total_detections"],
         "detected_texts": sorted(detected)[:10],
         "exact_matches": sum(1 for t in TRUTH if t in detected),
+        # equality, not just containment: junk tracks (e.g. the
+        # frame-border artifact box) must not reach the summary
+        "clean": detected == set(TRUTH),
     }
 
 
@@ -84,11 +87,11 @@ def main() -> None:
     ok = True
     r = verify(args.detector, args.crnn, use_transformer=False)
     print(json.dumps(r), flush=True)
-    ok &= r["exact_matches"] == len(TRUTH)
+    ok &= r["exact_matches"] == len(TRUTH) and r["clean"]
     if args.trocr and os.path.exists(args.trocr):
         r = verify(args.detector, args.trocr, use_transformer=True)
         print(json.dumps(r), flush=True)
-        ok &= r["exact_matches"] == len(TRUTH)
+        ok &= r["exact_matches"] == len(TRUTH) and r["clean"]
     print("VERIFY", "PASS" if ok else "FAIL", flush=True)
     if not ok:
         raise SystemExit(1)

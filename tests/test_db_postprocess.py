@@ -205,3 +205,35 @@ def test_empty_map_no_detections():
     assert int(np.asarray(out["valid"]).sum()) == 0
     assert extract_detections(out, 640, 480) == []
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_frame_filling_box_dropped():
+    """A border artifact spanning the whole map is not a detection.
+
+    The DB head can fire on the background plate's outline (measured on
+    the demo checkpoints: one [0,0,635,635] box per frame whose garbage
+    transcript polluted video summaries). A thin ring around the map
+    edge produces exactly that box; it must be dropped while a normal
+    text-sized component in the same map survives, and max_box_frac=1.0
+    must disable the filter.
+    """
+    import jax.numpy as jnp
+    from vtd_tpu.ops.db_postprocess import db_postprocess
+
+    prob = np.zeros((640, 640), np.float32)
+    prob[2:638, 2:6] = 0.9   # left edge
+    prob[2:638, 634:638] = 0.9  # right edge
+    prob[2:6, 2:638] = 0.9   # top
+    prob[634:638, 2:638] = 0.9  # bottom  -> one ring component
+    prob[300:340, 100:300] = 0.9  # real text-sized blob
+
+    out = db_postprocess(jnp.asarray(prob), 0.5)
+    valid = np.asarray(out["valid"])
+    boxes = np.asarray(out["boxes"])[valid]
+    assert len(boxes) == 1
+    # the survivor is the blob, not the ring
+    x1, y1, x2, y2 = boxes[0]
+    assert x2 - x1 < 300 and y2 - y1 < 100
+
+    out_off = db_postprocess(jnp.asarray(prob), 0.5, max_box_frac=1.0)
+    assert int(np.asarray(out_off["valid"]).sum()) == 2

@@ -287,8 +287,8 @@ def connected_components(
 @partial(
     jax.jit,
     static_argnames=(
-        "max_dets", "min_area", "num_angles", "refine_steps", "cc_iters",
-        "work_stride", "stage", "cc_exact",
+        "max_dets", "min_area", "max_box_frac", "num_angles",
+        "refine_steps", "cc_iters", "work_stride", "stage", "cc_exact",
     ),
 )
 def db_postprocess(
@@ -297,6 +297,7 @@ def db_postprocess(
     *,
     max_dets: int = 64,
     min_area: float = 100.0,
+    max_box_frac: float = 0.95,
     num_angles: int = 45,
     refine_steps: int = 9,
     cc_iters: int = 8,
@@ -524,6 +525,21 @@ def db_postprocess(
     box_sum = ii[iy2, ix2] - ii[iy1, ix2] - ii[iy2, ix1] + ii[iy1, ix1]
     npix = ((ix2 - ix1) * (iy2 - iy1)).astype(jnp.float32)
     scores = box_sum / jnp.maximum(npix, 1.0)
+
+    # Frame-filling components are border artifacts, not text: the DB
+    # head can fire on the background plate's outline, yielding one box
+    # that spans the whole map (measured: a [0,0,635,635] track on the
+    # demo checkpoints whose garbage transcript polluted summaries and
+    # burned one recognition-budget crop slot per frame). Real text
+    # spanning >=95% of BOTH axes of the detector input does not occur;
+    # drop on-device so the slot is never cropped. max_box_frac >= 1
+    # disables the filter.
+    if max_box_frac < 1.0:
+        frame_filling = jnp.logical_and(
+            bx2 - bx1 >= max_box_frac * w,
+            by2 - by1 >= max_box_frac * h,
+        )
+        valid = jnp.logical_and(valid, jnp.logical_not(frame_filling))
 
     # Empty top-K slots carry inf extents; zero them with `where` (a
     # multiply would propagate inf * 0 = nan).
