@@ -64,3 +64,20 @@ def test_transformer_decode_consistency(small_tr, rng):
     crop = rng.integers(0, 255, (32, 100, 3), np.uint8)
     out = small_tr.recognize_batch([crop, crop])
     assert out[0]["text"] == out[1]["text"]
+
+
+def test_rectangular_input():
+    """image_width != image_size: text-shaped encoder input. The ViT is
+    shape-agnostic; num_patches and the runtime prep must follow."""
+    import jax
+    import jax.numpy as jnp
+    from vtd_tpu.models.trocr import TrOCR, small_config
+
+    cfg = small_config(image_size=32, image_width=128, patch_size=16)
+    assert cfg.num_patches == 2 * 8 + 1
+    model = TrOCR(cfg)
+    img = jnp.zeros((2, 32, 128, 3), jnp.float32)
+    tok = jnp.zeros((2, 4), jnp.int32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, tok)
+    logits = model.apply(variables, img, tok)
+    assert logits.shape == (2, 4, cfg.vocab_size)

@@ -162,7 +162,11 @@ def _cmd_train_trocr(argv):
     parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--lr", type=float, default=6e-4)
     parser.add_argument("--weight-decay", type=float, default=1e-4)
-    parser.add_argument("--image-size", type=int, default=64)
+    parser.add_argument("--image-size", type=int, default=48,
+                        help="crop height fed to the encoder")
+    parser.add_argument("--image-width", type=int, default=192,
+                        help="crop width (text-shaped rectangle; "
+                        "0 = square like HF ViT)")
     parser.add_argument(
         "--no-augment", action="store_true",
         help="disable on-device photometric augmentation",
@@ -176,7 +180,9 @@ def _cmd_train_trocr(argv):
         synthesize_trocr_crops,
     )
 
-    cfg = demo_config(image_size=args.image_size)
+    cfg = demo_config(
+        image_size=args.image_size, image_width=args.image_width
+    )
     images, texts = synthesize_trocr_crops(args.samples, cfg, seed=0)
     val_images, val_texts = synthesize_trocr_crops(512, cfg, seed=999)
     trainer = TrOCRTrainer(

@@ -74,6 +74,13 @@ class CharTokenizer:
 @dataclass(frozen=True)
 class TrOCRConfig:
     image_size: int = 384
+    # 0 -> square (image_size wide): the HF ViT layout. Text lines are
+    # wide, not square — squashing an 8-char line into a square leaves
+    # ~8 px/char and measurably drops/garbles characters (heldout
+    # random-8 exact match 21/32 at 64x64); a text-shaped rectangle
+    # (e.g. 48x192) keeps ~24 px/char. The encoder is fully
+    # shape-agnostic; only the position-embedding count depends on it.
+    image_width: int = 0
     patch_size: int = 16
     enc_dim: int = 768
     enc_layers: int = 12
@@ -107,8 +114,16 @@ class TrOCRConfig:
     gelu_exact: bool = False
 
     @property
+    def width(self) -> int:
+        return self.image_width or self.image_size
+
+    @property
     def num_patches(self) -> int:
-        return (self.image_size // self.patch_size) ** 2 + 1  # + CLS
+        return (
+            (self.image_size // self.patch_size)
+            * (self.width // self.patch_size)
+            + 1  # + CLS
+        )
 
 
 def small_config(**kw) -> TrOCRConfig:
@@ -240,7 +255,7 @@ class ViTEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, images):
-        """images [B, S, S, 3] float (normalized) -> [B, N, D]."""
+        """images [B, H, W, 3] float (normalized) -> [B, N, D]."""
         c = self.cfg
         x = nn.Conv(
             c.enc_dim, (c.patch_size, c.patch_size),

@@ -168,8 +168,8 @@ class VideoTextPipeline:
         self.decode_backend = decode_backend
         self.use_transformer = use_transformer_ocr
         if use_transformer_ocr:
-            s = self.recognizer.transformer.cfg.image_size
-            self.crop_hw = (s, s)
+            tc = self.recognizer.transformer.cfg
+            self.crop_hw = (tc.image_size, tc.width)
             self.rec_chunk = rec_chunk or self.recognizer.transformer.pad_batch
         else:
             self.crop_hw = (32, 128)

@@ -54,7 +54,7 @@ class TransformerRecognizer:
             self.variables = self._load(model_path)
         else:
             dummy_img = jnp.zeros(
-                (1, self.cfg.image_size, self.cfg.image_size, 3), jnp.float32
+                (1, self.cfg.image_size, self.cfg.width, 3), jnp.float32
             )
             dummy_tok = jnp.zeros((1, 2), jnp.int32)
             self.variables = jax.jit(self.model.init)(
@@ -93,15 +93,15 @@ class TransformerRecognizer:
 
     # ------------------------------------------------------------------
     def _prepare(self, images: List[np.ndarray]) -> np.ndarray:
-        """BGR uint8 crops -> normalized [N, S, S, 3] f32 (mean/std 0.5,
+        """BGR uint8 crops -> normalized [N, H, W, 3] f32 (mean/std 0.5,
         the TrOCR processor's normalization)."""
-        s = self.cfg.image_size
-        out = np.zeros((len(images), s, s, 3), np.float32)
+        h, w = self.cfg.image_size, self.cfg.width
+        out = np.zeros((len(images), h, w, 3), np.float32)
         for i, img in enumerate(images):
             if img.ndim == 2:
                 img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
             rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-            out[i] = cv2.resize(rgb, (s, s)).astype(np.float32) / 255.0
+            out[i] = cv2.resize(rgb, (w, h)).astype(np.float32) / 255.0
         return (out - 0.5) / 0.5
 
     def recognize(self, image: np.ndarray) -> Dict[str, Any]:
