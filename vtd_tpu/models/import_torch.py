@@ -310,5 +310,16 @@ def import_trocr_state(sd: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
 
 def import_trocr_pth(path: str, cfg) -> Dict[str, Any]:
     """Load an HF-layout TrOCR ``.pth``/``.pt`` checkpoint (a torch state
-    dict, or a dict with ``model_state_dict``) into flax variables."""
+    dict, or a dict with ``model_state_dict``) into flax variables.
+
+    Parity evidence vs the reference's ``microsoft/trocr-base-printed``
+    download (text_recognizer.py:44-50): this build environment has no
+    network egress and ships no cached HF weights, so the importer is
+    validated against randomly-initialized ``transformers`` TrOCR
+    modules — the SAME modeling graph the hub checkpoint instantiates —
+    with logits matched to ~1e-4 (tests/test_import_trocr.py). Weight
+    import is layout + numerics; a real checkpoint exercises no code
+    path that a random state dict of the same layout does not. Known
+    limitation: no recorded end-to-end transcription check against the
+    actual hub weights has been run in this image."""
     return import_trocr_state(load_state_dict(path), cfg)
