@@ -37,11 +37,14 @@ class TextDetector:
         model_path: Optional[str] = None,
         input_size: int = 640,
         max_dets: int = 64,
+        max_box_frac: float = 0.95,
         dtype: jnp.dtype = jnp.bfloat16,
         seed: int = 0,
     ):
         self.input_size = input_size
         self.max_dets = max_dets
+        # near-full-frame border-artifact filter; 1.0 disables
+        self.max_box_frac = max_box_frac
         self.model = DBNet(dtype=dtype)
         if model_path:
             self.variables = self.load_model(model_path)
@@ -88,6 +91,7 @@ class TextDetector:
         model = self.model
         size = self.input_size
         max_dets = self.max_dets
+        max_box_frac = self.max_box_frac
 
         @partial(jax.jit, static_argnames=())
         def run(variables, frames_u8, thresh):
@@ -96,7 +100,10 @@ class TextDetector:
             prob = out["probability"][..., 0]  # [B, S, S] f32
 
             post = jax.vmap(
-                lambda p: db_postprocess(p, thresh, max_dets=max_dets)
+                lambda p: db_postprocess(
+                    p, thresh, max_dets=max_dets,
+                    max_box_frac=max_box_frac,
+                )
             )(prob)
             return post
 

@@ -81,6 +81,7 @@ class VideoTextPipeline:
         min_recognition_confidence: float = 0.0,
         batch_size: int = 16,
         max_dets: int = 64,
+        max_box_frac: float = 0.95,
         target_fps: float = 10.0,
         rec_chunk: Optional[int] = None,
         rec_budget: Optional[int] = None,
@@ -131,6 +132,10 @@ class VideoTextPipeline:
         self.min_recognition_confidence = min_recognition_confidence
         self.batch_size = batch_size
         self.max_dets = max_dets
+        # Frame-filling-box filter (ops/db_postprocess.py): 0.95 drops
+        # border artifacts; 1.0 disables (raw parity / random-weight
+        # smoke runs, where a whole-map response is legitimate output).
+        self.max_box_frac = max_box_frac
         self.target_fps = target_fps
         # Host-side resize before upload: with a 640 detector input the
         # device never needs full-res pixels except for crop sampling,
@@ -264,6 +269,7 @@ class VideoTextPipeline:
         model = self.detector.model
         size = self.detector.input_size
         max_dets = self.max_dets
+        max_box_frac = self.max_box_frac
         out_h, out_w = self.crop_hw
         transformer_norm = self.use_transformer
         crnn = None if self.use_transformer else self.recognizer.crnn
@@ -278,7 +284,10 @@ class VideoTextPipeline:
             x = preprocess_frames(frames_u8, out_size=size)
             prob = model.apply(variables, x)["probability"][..., 0]
             post = jax.vmap(
-                lambda p: db_postprocess(p, thresh, max_dets=max_dets)
+                lambda p: db_postprocess(
+                    p, thresh, max_dets=max_dets,
+                    max_box_frac=max_box_frac,
+                )
             )(prob)
             # Padding frames (batch tails duplicate the last real frame)
             # must not produce valid slots: they would consume
