@@ -188,6 +188,9 @@ def test_rec_budget_matches_full_recognition(text_image):
 
     kwargs = dict(
         use_transformer_ocr=False, batch_size=4, max_dets=16,
+        # random weights respond to the whole frame; these tests check
+        # budget/validity mechanics, so the border-artifact filter is off
+        max_box_frac=1.0,
         detector_input_size=160, recognizer_kwargs={"pad_batch": 32},
     )
     frames = np.stack([text_image] * 4)
@@ -215,6 +218,9 @@ def test_rec_budget_padding_frames_do_not_consume_slots(text_image):
 
     kwargs = dict(
         use_transformer_ocr=False, batch_size=4, max_dets=16,
+        # random weights respond to the whole frame; these tests check
+        # budget/validity mechanics, so the border-artifact filter is off
+        max_box_frac=1.0,
         detector_input_size=160, recognizer_kwargs={"pad_batch": 32},
     )
     frames = np.stack([text_image] * 4)  # [0:2] real, [2:4] "padding"
@@ -300,6 +306,9 @@ def test_process_video_dispatches_frame_validity(sample_video):
 
     pipe = VideoTextPipeline(
         use_transformer_ocr=False, batch_size=4, max_dets=16,
+        # random weights respond to the whole frame; these tests check
+        # budget/validity mechanics, so the border-artifact filter is off
+        max_box_frac=1.0,
         detector_input_size=160, recognizer_kwargs={"pad_batch": 32},
     )
     seen = []
@@ -334,6 +343,9 @@ def test_process_video_tail_budget_transcripts(tail_padded_video):
 
     kwargs = dict(
         use_transformer_ocr=False, batch_size=4, max_dets=16,
+        # random weights respond to the whole frame; these tests check
+        # budget/validity mechanics, so the border-artifact filter is off
+        max_box_frac=1.0,
         detector_input_size=160, recognizer_kwargs={"pad_batch": 32},
         target_fps=10.0,
     )

@@ -171,6 +171,19 @@ def _cmd_train_trocr(argv):
         "--no-augment", action="store_true",
         help="disable on-device photometric augmentation",
     )
+    parser.add_argument(
+        "--fresh-data", action="store_true",
+        help="draw a FRESH --samples-sized training set every epoch "
+        "(host-rendered on a prefetch thread) instead of reusing one "
+        "fixed set — a fixed set saturates heldout accuracy once the "
+        "model memorizes it",
+    )
+    parser.add_argument("--enc-dim", type=int, default=0,
+                        help="override encoder/decoder width (0 = demo "
+                        "default 128)")
+    parser.add_argument("--layers", type=int, default=0,
+                        help="override encoder/decoder depth (0 = demo "
+                        "default 4)")
     parser.add_argument("--checkpoint-dir", default="./models")
     args = parser.parse_args(argv)
 
@@ -180,8 +193,16 @@ def _cmd_train_trocr(argv):
         synthesize_trocr_crops,
     )
 
+    dims = {}
+    if args.enc_dim:
+        dims.update(
+            enc_dim=args.enc_dim, dec_dim=args.enc_dim,
+            enc_mlp=2 * args.enc_dim, dec_mlp=2 * args.enc_dim,
+        )
+    if args.layers:
+        dims.update(enc_layers=args.layers, dec_layers=args.layers)
     cfg = demo_config(
-        image_size=args.image_size, image_width=args.image_width
+        image_size=args.image_size, image_width=args.image_width, **dims
     )
     images, texts = synthesize_trocr_crops(args.samples, cfg, seed=0)
     val_images, val_texts = synthesize_trocr_crops(512, cfg, seed=999)
@@ -196,7 +217,14 @@ def _cmd_train_trocr(argv):
         },
         model_config=cfg,
     )
-    out = trainer.train(images, texts, val_images, val_texts)
+    data_fn = None
+    if args.fresh_data:
+        # disjoint seed block per epoch (heldout uses 999 / 424242)
+        data_fn = lambda epoch: synthesize_trocr_crops(  # noqa: E731
+            args.samples, cfg, seed=100_000 + epoch
+        )
+    out = trainer.train(images, texts, val_images, val_texts,
+                        data_fn=data_fn)
     if out.get("status") == "success":
         # The hardest held-out slice: random max-length (8-char)
         # strings, disjoint seed — the demo-quality bar tracked in
