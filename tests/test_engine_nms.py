@@ -146,3 +146,48 @@ def test_multistream_engine(tmp_path):
         assert len(r["results"]) == 10
         nums = [f["frame_number"] for f in r["results"]]
         assert nums == sorted(nums)
+
+
+@pytest.mark.slow
+def test_engine_submit_batch_interop(tmp_path):
+    """submit_batch resolves to the full per-slot list; per-frame
+    submit_frame results for the same frames agree; a closed engine
+    fails batch futures instead of hanging them."""
+    import cv2
+    from vtd_tpu.runtime.engine import InferenceEngine
+    from vtd_tpu.runtime.pipeline import VideoTextPipeline
+
+    pipeline = VideoTextPipeline(
+        use_transformer_ocr=False, batch_size=4, max_dets=16,
+        detector_input_size=160, recognizer_kwargs={"pad_batch": 32},
+    )
+    size = pipeline.host_downscale or 160
+    frames = []
+    for i in range(3):
+        f = np.full((size, size, 3), 255, np.uint8)
+        cv2.putText(
+            f, "AB", (20, size // 2), cv2.FONT_HERSHEY_SIMPLEX,
+            1.5, (0, 0, 0), 3,
+        )
+        frames.append(f)
+    batch = np.stack(frames + [frames[-1]])
+    valid = np.array([True, True, True, False])
+
+    engine = InferenceEngine(pipeline=pipeline, max_wait_ms=20)
+    try:
+        per_slot = engine.submit_batch(
+            batch, valid, orig_size=(size, size)
+        ).result(timeout=300)
+        single = engine.submit_frame(frames[0]).result(timeout=300)
+    finally:
+        engine.close()
+    assert len(per_slot) == 4
+    texts_batch = sorted(d["text"] for d in per_slot[0])
+    texts_single = sorted(d["text"] for d in single)
+    assert texts_batch == texts_single
+    # padding slot yields no detections
+    assert per_slot[3] == []
+
+    fut = engine.submit_batch(batch, valid, orig_size=(size, size))
+    with pytest.raises(RuntimeError):
+        fut.result(timeout=10)

@@ -261,6 +261,18 @@ def main():
         return serve_main()
     if cmd == "worker":
         return _cmd_worker(rest)
+    if cmd.startswith("train"):
+        # Trainers report per-epoch progress via logging.info; without a
+        # handler a multi-hour run is silent until the final JSON line
+        # (round-4 retrains were unmonitorable for exactly this reason).
+        import logging
+
+        logging.basicConfig(
+            level=logging.WARNING,
+            format="%(asctime)s %(name)s: %(message)s",
+        )
+        # Epoch lines only — absl/orbax INFO would drown them out.
+        logging.getLogger("vtd_tpu").setLevel(logging.INFO)
     if cmd == "train-trocr":
         return _cmd_train_trocr(rest)
     if cmd == "train-detector":
