@@ -185,6 +185,10 @@ def _cmd_train_trocr(argv):
                         help="override encoder/decoder depth (0 = demo "
                         "default 4)")
     parser.add_argument("--checkpoint-dir", default="./models")
+    parser.add_argument("--init-from", default="",
+                        help="continue training from this checkpoint's "
+                        "weights (fresh optimizer; pick a lower --lr "
+                        "than the original run)")
     args = parser.parse_args(argv)
 
     from .train.trocr_trainer import (
@@ -214,6 +218,7 @@ def _cmd_train_trocr(argv):
             "learning_rate": args.lr,
             "weight_decay": args.weight_decay,
             "augment": not args.no_augment,
+            "init_from": args.init_from or None,
         },
         model_config=cfg,
     )

@@ -172,6 +172,14 @@ class TrOCRTrainer:
                 jnp.zeros((1, 2), jnp.int32),
             )
             params = variables["params"]
+            init_from = cfg.get("init_from")
+            if init_from:
+                # Continuation training: start from a previous
+                # checkpoint's weights (fresh optimizer/schedule — use a
+                # lower peak LR than the original run).
+                from .checkpoint import restore_variables
+
+                params = restore_variables(str(init_from))["params"]
             lr = float(cfg.get("learning_rate", 3e-4))
             warmup = int(cfg.get("warmup_steps", 100))
             sched = optax.warmup_cosine_decay_schedule(
