@@ -68,7 +68,7 @@ def run_engine(detector: str, recognizer: str, transformer: bool) -> dict:
     }
     if not transformer:
         confs = [
-            d["confidence"]
+            d["detection_confidence"]
             for fr in result["results"]
             for d in fr["detections"]
         ]

@@ -108,6 +108,16 @@ def make_trocr_train_step(model: TrOCR, tx, augment: bool = False):
 
     @jax.jit
     def step(params, opt_state, images, tokens, key):
+        if images.dtype == jnp.uint8:
+            # Crops ship uint8 and normalize on device: 4x fewer
+            # host->device bytes. This matters beyond bandwidth — this
+            # image's TPU relay client retains every transfer buffer
+            # host-side (measured ~28 MB leaked per 28 MB batch, see
+            # docs/ARCHITECTURE.md "relay transfer leak"), so a long
+            # float32 run OOMs the 125 GB host (round-4 45-epoch run
+            # died at 130 GB RSS). The ±1/255 quantization is far below
+            # the 0.06-sigma augmentation noise.
+            images = images.astype(jnp.float32) / 127.5 - 1.0
         if augment:
             kc, kb, kn = jax.random.split(key, 3)
             b = images.shape[0]
@@ -196,8 +206,22 @@ class TrOCRTrainer:
             step = make_trocr_train_step(model, tx, augment=augment)
             aug_key = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 7)
 
+            def pack_u8(imgs: np.ndarray) -> np.ndarray:
+                """Normalized [-1,1] float crops -> uint8 for transfer
+                (the train step unnormalizes on device)."""
+                if imgs.dtype == np.uint8:
+                    return imgs
+                return np.clip(
+                    (imgs + 1.0) * 127.5 + 0.5, 0.0, 255.0
+                ).astype(np.uint8)
+
             tokens = encode_tokens(texts, self.tokenizer, mc.max_len)
+            images = pack_u8(images)
             n = len(images)
+            save_every = int(cfg.get("save_every", 10))
+            ckpt_dir = Path(cfg.get("checkpoint_dir", "./checkpoints"))
+            ckpt_dir.mkdir(parents=True, exist_ok=True)
+            path = str(ckpt_dir / "trocr_final")
             history = []
             pool = prefetch = None
             if data_fn is not None:
@@ -209,6 +233,7 @@ class TrOCRTrainer:
                 if pool is not None:
                     if prefetch is not None:
                         images, texts = prefetch.result()
+                        images = pack_u8(images)
                         tokens = encode_tokens(
                             texts, self.tokenizer, mc.max_len
                         )
@@ -238,12 +263,17 @@ class TrOCRTrainer:
                     )
                 history.append(rec)
                 logger.info("epoch %d: %s", epoch, rec)
+                if save_every and (epoch + 1) % save_every == 0:
+                    # Crash/preemption safety: a 45-epoch round-4 run
+                    # was OOM-killed at the finish line and lost all
+                    # its training because the only save was at the end.
+                    save_variables(path, {"params": params})
+                    save_config(
+                        str(ckpt_dir / "trocr_final_config.json"), mc
+                    )
 
             if pool is not None:
                 pool.shutdown(wait=False, cancel_futures=True)
-            ckpt_dir = Path(cfg.get("checkpoint_dir", "./checkpoints"))
-            ckpt_dir.mkdir(parents=True, exist_ok=True)
-            path = str(ckpt_dir / "trocr_final")
             save_variables(path, {"params": params})
             save_config(str(ckpt_dir / "trocr_final_config.json"), mc)
             return {
