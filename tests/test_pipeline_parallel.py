@@ -104,3 +104,19 @@ def test_two_stage_transformer_smoke():
     for dets in out:
         for d in dets:
             assert isinstance(d["text"], str)
+
+
+def test_two_stage_forwards_max_box_frac():
+    """Regression: ``VideoTextPipeline(parallel_mode="two_stage",
+    max_box_frac=...)`` must reach the stage-A db_postprocess — it was
+    silently dropped (always 0.95) before round 5, so random-weight
+    smokes that disable the border filter with 1.0 diverged from the
+    fused path."""
+    from vtd_tpu.runtime.pipeline import VideoTextPipeline
+
+    p = VideoTextPipeline(
+        use_transformer_ocr=False, batch_size=4, max_dets=8,
+        detector_input_size=160, parallel_mode="two_stage",
+        max_box_frac=1.0, recognizer_kwargs={"pad_batch": 32},
+    )
+    assert p._detect_crop.max_box_frac == 1.0

@@ -60,6 +60,7 @@ class TwoStagePipeline:
         split: Optional[int] = None,
         max_dets: int = 64,
         crop_hw: Tuple[int, int] = (32, 128),
+        max_box_frac: float = 0.95,
     ):
         devices = list(devices if devices is not None else jax.devices())
         if len(devices) < 2:
@@ -73,6 +74,7 @@ class TwoStagePipeline:
         self.use_transformer = use_transformer
         self.max_dets = max_dets
         self.crop_hw = crop_hw
+        self.max_box_frac = max_box_frac
 
         repl_a = NamedSharding(self.mesh_a, P())
         repl_b = NamedSharding(self.mesh_b, P())
@@ -112,9 +114,11 @@ class TwoStagePipeline:
             b, h, w = frames_u8.shape[:3]
             x = preprocess_frames(frames_u8, out_size=size)
             prob = model.apply(variables, x)["probability"][..., 0]
-            post = jax.vmap(lambda p: db_postprocess(p, thresh, max_dets=k))(
-                prob
-            )
+            post = jax.vmap(
+                lambda p: db_postprocess(
+                    p, thresh, max_dets=k, max_box_frac=max_box_frac
+                )
+            )(prob)
             scale = jnp.asarray([w / size, h / size, w / size, h / size])
             crops = jax.vmap(
                 lambda f, bx, v: crop_and_resize_boxes_mm(

@@ -222,6 +222,7 @@ class VideoTextPipeline:
                 use_transformer=self.use_transformer,
                 max_dets=self.max_dets,
                 crop_hw=self.crop_hw,
+                max_box_frac=self.max_box_frac,
             )
             for g in self._detect_crop.group_sizes:
                 if self.batch_size % g != 0:

@@ -239,8 +239,14 @@ class TrOCRTrainer:
                         )
                         n = len(images)
                     # next epoch's draw renders (host, cv2) while this
-                    # epoch's steps run on the device
-                    prefetch = pool.submit(data_fn, epoch + 1)
+                    # epoch's steps run on the device; no draw for the
+                    # epoch past the last — it would never be consumed
+                    # and a 32k-sample render can't be cancelled once
+                    # running, delaying exit and racing the final save
+                    if epoch + 1 < int(cfg.get("max_epochs", 10)):
+                        prefetch = pool.submit(data_fn, epoch + 1)
+                    else:
+                        prefetch = None
                 perm = np.random.default_rng(epoch).permutation(n)
                 losses = []
                 for i in range(0, n - batch_size + 1, batch_size):
@@ -267,9 +273,18 @@ class TrOCRTrainer:
                     # Crash/preemption safety: a 45-epoch round-4 run
                     # was OOM-killed at the finish line and lost all
                     # its training because the only save was at the end.
-                    save_variables(path, {"params": params})
+                    # Alternate between two autosave paths — the
+                    # checkpointer deletes the target before writing, so
+                    # a kill landing mid-save must not be able to
+                    # destroy the only surviving checkpoint.
+                    slot = ((epoch + 1) // save_every) % 2
+                    auto = str(ckpt_dir / f"trocr_autosave_{'ab'[slot]}")
+                    save_variables(auto, {"params": params})
                     save_config(
                         str(ckpt_dir / "trocr_final_config.json"), mc
+                    )
+                    (ckpt_dir / "autosave_latest.txt").write_text(
+                        f"{auto}\nepoch={epoch}\n"
                     )
 
             if pool is not None:
