@@ -63,11 +63,7 @@ timeout 900 python tools/update_report.py --trocr-log $Q/trocr_r5.log \
   > $Q/report_refresh.log 2>&1
 tail -4 $Q/report_refresh.log
 
-echo "== 5. benches =="
-for c in 3 5 4 1 2; do
-  timeout 1500 python bench.py --config $c 2>$Q/r5bench$c.err \
-    | tail -1 | tee $Q/r5bench$c.json
-done
-timeout 1500 python bench.py --device-resident 2>$Q/r5benchdr.err \
-  | tail -1 | tee $Q/r5benchdr.json
+echo "== 5. benches (all configs; raw artifacts -> bench_artifacts/r5/) =="
+VTD_BENCH_TAG=r5 timeout 9000 python bench.py --all \
+  2>$Q/r5bench.err | tee $Q/r5bench.jsonl
 echo "QUEUE DONE"
