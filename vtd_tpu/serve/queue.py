@@ -523,7 +523,13 @@ def _safe(fn, *args):
 def _broker_from_settings():
     """Settings-driven broker (reference celery_app.py:14-16 reads its
     broker URL from settings the same way): ``file:///shared/dir`` mounts
-    a FileBroker on a shared filesystem; ``local://`` = in-process."""
+    a FileBroker on a shared filesystem; ``local://`` = in-process.
+
+    Any other scheme raises: an unknown URL silently degrading to the
+    in-process queue would turn an intended multi-host fleet into a
+    single-node deployment with no error (a ``redis://`` URL from a
+    reference-style deployment must fail fast here — vtd_tpu's
+    cross-host transport is a shared filesystem, not Redis)."""
     try:
         from ..core.config import settings
 
@@ -534,7 +540,14 @@ def _broker_from_settings():
         from .broker import FileBroker
 
         return FileBroker(url[len("file://"):])
-    return None
+    if url in ("", "local://") or url.startswith("local://"):
+        return None  # in-process queue (single-node default)
+    raise ValueError(
+        f"unsupported CELERY_BROKER_URL scheme: {url!r} — use "
+        "'local://' (in-process, single node) or 'file:///shared/dir' "
+        "(FileBroker on a shared filesystem for multi-host fleets); "
+        "redis:// is not a supported transport in vtd_tpu"
+    )
 
 
 def _worker_kind_from_settings() -> str:
