@@ -245,6 +245,39 @@ def test_rec_budget_padding_frames_do_not_consume_slots(text_image):
     assert all(d["text"] for dets in out_t[:2] for d in dets)
 
 
+def test_rec_budget_overflow_recovers_all_transcripts(text_image):
+    """Text-dense batch with MORE valid detections than the recognition
+    budget: the pipeline must run the full-budget second pass so every
+    detection still carries its transcript (the reference recognizes
+    every crop — pipeliine.py:117-133; pre-round-5 the extras shipped
+    with text='')."""
+    from vtd_tpu.runtime import VideoTextPipeline
+
+    kwargs = dict(
+        use_transformer_ocr=False, batch_size=4, max_dets=16,
+        max_box_frac=1.0,
+        detector_input_size=160, recognizer_kwargs={"pad_batch": 32},
+    )
+    frames = np.stack([text_image] * 4)
+    valid = np.ones(4, bool)
+
+    full = VideoTextPipeline(rec_budget=4 * 16, **kwargs)
+    out_full = full.process_batch(frames, valid)
+    n_dets = sum(len(d) for d in out_full)
+    assert n_dets >= 2, "fixture too sparse to overflow a budget of 1"
+
+    # budget strictly below the detection count -> guaranteed overflow
+    tight = VideoTextPipeline(rec_budget=max(1, n_dets // 2), **kwargs)
+    out_t = tight.process_batch(frames, valid)
+    assert sum(len(d) for d in out_t) == n_dets
+    assert all(d["text"] for dets in out_t for d in dets), out_t
+    assert [
+        [(d["text"], d["bbox"]) for d in dets] for dets in out_t
+    ] == [
+        [(d["text"], d["bbox"]) for d in dets] for dets in out_full
+    ]
+
+
 def test_f32_pack_above_f16_safe_input(monkeypatch, text_image):
     """Detector input sizes past the f16 precision budget switch the
     packed transfer's det block to float32 (coords would otherwise

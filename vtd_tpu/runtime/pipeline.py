@@ -233,6 +233,10 @@ class VideoTextPipeline:
                     )
         else:
             self._detect_crop = self._build_detect_crop()
+        # Lazily-compiled full-budget variant of the fused program: the
+        # overflow second pass for text-dense batches (see
+        # _process_batch); never built unless a batch actually overflows.
+        self._detect_crop_full = None
         self._recognize_sel = self._build_recognize_sel()
 
     # ------------------------------------------------------------------
@@ -258,7 +262,7 @@ class VideoTextPipeline:
             )
 
     # ------------------------------------------------------------------
-    def _build_detect_crop(self):
+    def _build_detect_crop(self, full_budget: bool = False):
         """One fused device program per frame batch.
 
         detect -> postprocess -> crop every slot -> (CRNN path only)
@@ -266,6 +270,12 @@ class VideoTextPipeline:
         a single jit: one dispatch and one small host transfer per
         batch, zero host-side decisions in the hot loop (the per-crop
         Python loop is the reference's biggest cost, SURVEY.md §3.3).
+
+        ``full_budget=True`` builds the recognize-every-slot variant
+        used as the second pass when a text-dense batch overflows the
+        recognition budget (the reference recognizes every crop,
+        ``app/ml/inference/pipeliine.py:117-133`` — overflow must not
+        drop transcripts).
         """
         model = self.detector.model
         size = self.detector.input_size
@@ -332,7 +342,7 @@ class VideoTextPipeline:
             from ..ops.ctc import ctc_greedy_decode_arrays
 
             bk = b * max_dets
-            budget = self._effective_rec_budget(b)
+            budget = bk if full_budget else self._effective_rec_budget(b)
             if budget < bk:
                 # Typical batches fill a handful of the B*K slots; the
                 # CRNN pass over all of them was ~1/4 of the fused
@@ -463,6 +473,7 @@ class VideoTextPipeline:
         frames: np.ndarray,
         confidence_threshold: Optional[float] = None,
         valid_frames: Optional[np.ndarray] = None,
+        full_budget: bool = False,
     ):
         """Enqueue the fused device program (non-blocking: JAX dispatch
         is async, so the TPU crunches this batch while the host decodes
@@ -525,7 +536,16 @@ class VideoTextPipeline:
                 self.detector.variables, rec_vars, frames_dev, dev_thr
             )
         else:
-            handles = self._detect_crop(
+            prog = self._detect_crop
+            if full_budget:
+                # Overflow second pass: recognize EVERY slot. Built and
+                # compiled only when a batch actually overflows.
+                if self._detect_crop_full is None:
+                    self._detect_crop_full = self._build_detect_crop(
+                        full_budget=True
+                    )
+                prog = self._detect_crop_full
+            handles = prog(
                 self.detector.variables,
                 rec_vars,
                 frames_dev,
@@ -617,24 +637,44 @@ class VideoTextPipeline:
         texts: Dict[int, Any] = {}
         if ctc is not None:
             # CRNN path: slots beyond the recognition budget carry blank
-            # transcripts — surface the clipping instead of silently
-            # emitting text='' detections on text-dense batches.
+            # transcripts. The reference recognizes every crop
+            # (pipeliine.py:117-133), so an overflowing text-dense batch
+            # is re-dispatched through the full-budget variant of the
+            # fused program and the CTC columns are taken from that pack
+            # — no detection ever ships with a silently-empty transcript.
             n_valid = int(np.count_nonzero(valid))
             budget = self._effective_rec_budget(b)
             # two_stage recognizes every slot (no budget applies there)
-            if (
-                n_valid > budget
-                and self.parallel_mode != "two_stage"
-                and not self._rec_budget_warned
-            ):
-                self._rec_budget_warned = True
-                logger.warning(
-                    "batch has %d valid detections but the recognition "
-                    "budget is %d: extras get empty transcripts. Raise "
-                    "rec_budget (up to batch_size*max_dets) for "
-                    "text-dense video.",
-                    n_valid, budget,
+            if n_valid > budget and self.parallel_mode != "two_stage":
+                if not self._rec_budget_warned:
+                    self._rec_budget_warned = True
+                    logger.warning(
+                        "batch has %d valid detections but the "
+                        "recognition budget is %d: recovering via a "
+                        "full-budget second pass (the first such batch "
+                        "pays its compile). Raise rec_budget (up to "
+                        "batch_size*max_dets) to recognize text-dense "
+                        "video in one pass.",
+                        n_valid, budget,
+                    )
+                full = self._dispatch_batch(
+                    frames, confidence_threshold=confidence_threshold,
+                    valid_frames=valid_frames, full_budget=True,
                 )
+                pack2 = np.asarray(jax.device_get(full[0]))
+                det16_2 = np.ascontiguousarray(
+                    pack2[..., : itemsize * nf16]
+                ).view(self._pack_np).astype(np.float32)
+                from ..ops.ctc import emit_mask_np
+
+                ids2 = pack2[..., itemsize * nf16:].reshape(
+                    b * self.max_dets, -1
+                ).astype(np.int32)
+                ctc = {
+                    "ids": ids2,
+                    "emit": emit_mask_np(ids2),
+                    "confidence": det16_2[..., 14].reshape(-1),
+                }
             from ..ops.ctc import ids_to_text
 
             if need:
