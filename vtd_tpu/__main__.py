@@ -266,6 +266,12 @@ def main():
         return serve_main()
     if cmd == "worker":
         return _cmd_worker(rest)
+    if cmd == "brokerd":
+        # Network task broker daemon (no JAX import — runs on any box)
+        from .serve.brokerd import main as brokerd_main
+
+        brokerd_main(rest)
+        return 0
     if cmd.startswith("train"):
         # Trainers report per-epoch progress via logging.info; without a
         # handler a multi-hour run is silent until the final JSON line

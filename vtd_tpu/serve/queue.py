@@ -540,12 +540,17 @@ def _broker_from_settings():
         from .broker import FileBroker
 
         return FileBroker(url[len("file://"):])
+    if url.startswith("tcp://"):
+        from .brokerd import TcpBroker, parse_tcp_url
+
+        return TcpBroker(*parse_tcp_url(url))
     if url in ("", "local://") or url.startswith("local://"):
         return None  # in-process queue (single-node default)
     raise ValueError(
         f"unsupported CELERY_BROKER_URL scheme: {url!r} — use "
-        "'local://' (in-process, single node) or 'file:///shared/dir' "
-        "(FileBroker on a shared filesystem for multi-host fleets); "
+        "'local://' (in-process, single node), 'file:///shared/dir' "
+        "(FileBroker on a shared filesystem), or 'tcp://host:port' "
+        "(the vtd_tpu brokerd network broker) for multi-host fleets; "
         "redis:// is not a supported transport in vtd_tpu"
     )
 
