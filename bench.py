@@ -188,6 +188,15 @@ def bench_config1() -> None:
         up[i] = time.time() - t1
     upload_ms = float(np.median(up) * 1e3)
 
+    # Halved-transfer variant: I420-packed upload (0.6 MB vs 1.2 MB) —
+    # the code-level lever against a bandwidth-bound link.
+    det_y = TextDetector(transfer_format="yuv420")
+    det_y.detect(frame)  # compile
+    t0 = time.time()
+    for _ in range(n):
+        det_y.detect(frame)
+    yuv_fps = n / (time.time() - t0)
+
     # Device-side rate: staged input, back-to-back async dispatches,
     # one final block — the upload and per-call fetch leave the loop.
     dev = jnp.asarray(frame[None])
@@ -209,6 +218,7 @@ def bench_config1() -> None:
             "latency_ms_p50": round(float(lat_ms[n // 2]), 1),
             "latency_ms_p99": round(float(lat_ms[min(n - 1, int(n * 0.99))]), 1),
             "upload_ms_p50": round(upload_ms, 1),
+            "yuv420_fps": round(yuv_fps, 2),
             "device_ms": round(1e3 / device_fps, 2),
             "note": "value includes per-frame host link round trip "
                     "(dev relay ~30 MB/s); device_fps stages input "

