@@ -117,7 +117,8 @@ def _cmd_worker(argv):
     per TPU host; each initializes jax.distributed when configured."""
     parser = argparse.ArgumentParser(prog="vtd_tpu worker")
     parser.add_argument("--broker", default="",
-                        help="broker URL, e.g. file:///shared/queue "
+                        help="broker URL, e.g. file:///shared/queue or "
+                             "tcp://brokerhost:6380 "
                              "(default: settings.celery_broker_url)")
     parser.add_argument("--concurrency", type=int, default=2)
     args = parser.parse_args(argv)
