@@ -545,7 +545,7 @@ def main() -> None:
 
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--config", type=int, default=3, choices=[1, 2, 3, 4, 5],
+        "--config", type=int, default=None, choices=[1, 2, 3, 4, 5],
         help="BASELINE.json benchmark config (default: 3, the headline)",
     )
     parser.add_argument(
@@ -563,6 +563,9 @@ def main() -> None:
         "--_inner", action="store_true", help=argparse.SUPPRESS
     )
     args = parser.parse_args()
+    explicit_config = args.config is not None
+    if args.config is None:
+        args.config = 3
     metric = _metric_for(args.config, args.device_resident)
 
     if args._inner:
@@ -584,7 +587,10 @@ def main() -> None:
     # wedge still yields a parseable artifact instead of rc=124.
     from vtd_tpu.core.tpu_preflight import bounded_device_count
 
-    specs_env = os.environ.get("VTD_BENCH_CONFIGS", "")
+    # env sweep never overrides an explicitly requested single config
+    specs_env = "" if explicit_config else os.environ.get(
+        "VTD_BENCH_CONFIGS", ""
+    )
     if args.all or specs_env:
         specs = ([s.strip() for s in specs_env.split(",") if s.strip()]
                  if specs_env and specs_env.lower() != "all"

@@ -61,10 +61,12 @@ def test_claim_order_fifo_and_requeue_keeps_position(server):
         time.sleep(0.01)
     first = br.claim()
     assert first["id"] == "zzz-first"
-    # worker "dies": heartbeat goes stale; requeue must put the task
-    # back at the FRONT (original submit order), not the tail
+    # worker "dies": heartbeat goes stale; the SERVER reaper must put
+    # the task back at the FRONT (original submit order), not the tail
+    # (the client-side requeue_stale is deliberately a no-op)
     time.sleep(0.3)
-    assert br.requeue_stale() == ["zzz-first"]
+    assert br.requeue_stale() == []
+    assert server.state.requeue_stale() == ["zzz-first"]
     assert [br.claim()["id"] for _ in range(3)] == [
         "zzz-first", "aaa-second", "mmm-third"
     ]
@@ -96,6 +98,24 @@ def test_state_ttl_gc(server):
     st.states["old"]["updated_at"] = 0.0
     st.requeue_stale()
     assert br.get_state("old") is None
+
+
+def test_gc_never_expires_live_tasks(server):
+    """A task stuck PENDING past result_ttl must keep its state AND its
+    revoke marker — expiring the marker would let the revoked job run
+    when finally claimed."""
+    st = server.state
+    st.result_ttl = 0.0
+    br = _client(server)
+    br.enqueue("stuck", "work", (), {})
+    br.revoke("stuck")
+    st._last_gc = 0.0
+    st.states["stuck"]["updated_at"] = 0.0
+    st.revoked["stuck"] = 0.0
+    st.requeue_stale()  # runs _gc with everything past the cutoff
+    assert br.get_state("stuck") is not None
+    assert br.is_revoked("stuck")
+    assert br.claim() is None  # revoke still honored at claim time
 
 
 def test_auth_token():

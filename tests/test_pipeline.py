@@ -276,6 +276,15 @@ def test_rec_budget_overflow_recovers_all_transcripts(text_image):
     ] == [
         [(d["text"], d["bbox"]) for d in dets] for dets in out_full
     ]
+    # after the first overflow the pipeline latches to the full-budget
+    # program — later batches take one pass and still match
+    assert tight._full_budget_latched
+    out_t2 = tight.process_batch(frames, valid)
+    assert [
+        [(d["text"], d["bbox"]) for d in dets] for dets in out_t2
+    ] == [
+        [(d["text"], d["bbox"]) for d in dets] for dets in out_full
+    ]
 
 
 def test_f32_pack_above_f16_safe_input(monkeypatch, text_image):

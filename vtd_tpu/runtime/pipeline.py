@@ -235,8 +235,11 @@ class VideoTextPipeline:
             self._detect_crop = self._build_detect_crop()
         # Lazily-compiled full-budget variant of the fused program: the
         # overflow second pass for text-dense batches (see
-        # _process_batch); never built unless a batch actually overflows.
+        # _process_batch); never built unless a batch actually
+        # overflows. Once one batch overflows, the pipeline latches to
+        # the full-budget program for all future dispatches.
         self._detect_crop_full = None
+        self._full_budget_latched = False
         self._recognize_sel = self._build_recognize_sel()
 
     # ------------------------------------------------------------------
@@ -537,9 +540,10 @@ class VideoTextPipeline:
             )
         else:
             prog = self._detect_crop
-            if full_budget:
-                # Overflow second pass: recognize EVERY slot. Built and
-                # compiled only when a batch actually overflows.
+            if full_budget or self._full_budget_latched:
+                # Overflow second pass / latched mode: recognize EVERY
+                # slot. Built and compiled only when a batch actually
+                # overflows.
                 if self._detect_crop_full is None:
                     self._detect_crop_full = self._build_detect_crop(
                         full_budget=True
@@ -560,6 +564,36 @@ class VideoTextPipeline:
         except AttributeError:
             pass
         return handles
+
+    def _parse_pack(self, out_pack: np.ndarray, b: int) -> Dict[str, Any]:
+        """Decode the fused program's packed uint8 output — the single
+        place the wire layout is known host-side (det f16/f32 block:
+        boxes(4) + polygon(8) + score(1) + valid(1) [+ ctc conf(1) on
+        the CRNN path], then uint8 CTC ids)."""
+        nf16 = 14 if self.use_transformer else 15
+        itemsize = np.dtype(self._pack_np).itemsize
+        det16 = np.ascontiguousarray(
+            out_pack[..., : itemsize * nf16]
+        ).view(self._pack_np).astype(np.float32)
+        ctc = None
+        if not self.use_transformer:  # CTC rode the same pack
+            ids = out_pack[..., itemsize * nf16:].reshape(
+                b * self.max_dets, -1
+            ).astype(np.int32)
+            from ..ops.ctc import emit_mask_np
+
+            ctc = {
+                "ids": ids,
+                "emit": emit_mask_np(ids),
+                "confidence": det16[..., 14].reshape(-1),
+            }
+        return {
+            "boxes": det16[..., 0:4],
+            "polys": det16[..., 4:12].reshape(b, self.max_dets, 4, 2),
+            "scores": det16[..., 12],
+            "valid": det16[..., 13] > 0.5,
+            "ctc": ctc,
+        }
 
     def _process_batch(
         self, frames: np.ndarray, valid_frames: np.ndarray, handles=None,
@@ -591,25 +625,49 @@ class VideoTextPipeline:
             handles if len(handles) == 2 else (handles[0], None)
         )
         out_pack = np.asarray(jax.device_get(out_pack))
-        nf16 = 14 if self.use_transformer else 15
-        itemsize = np.dtype(self._pack_np).itemsize
-        det16 = np.ascontiguousarray(
-            out_pack[..., : itemsize * nf16]
-        ).view(self._pack_np).astype(np.float32)
-        boxes = det16[..., 0:4]
-        polys = det16[..., 4:12].reshape(b, self.max_dets, 4, 2)
-        scores = det16[..., 12]
-        valid = det16[..., 13] > 0.5
-        ctc = None
-        if not self.use_transformer:  # CTC rode the same pack
-            conf = det16[..., 14].reshape(-1)
-            ids = out_pack[..., itemsize * nf16:].reshape(
-                b * self.max_dets, -1
-            ).astype(np.int32)
-            from ..ops.ctc import emit_mask_np
+        parsed = self._parse_pack(out_pack, b)
 
-            ctc = {"ids": ids, "emit": emit_mask_np(ids),
-                   "confidence": conf}
+        if parsed["ctc"] is not None and self.parallel_mode != "two_stage":
+            # CRNN path: slots beyond the recognition budget carry blank
+            # transcripts. The reference recognizes every crop
+            # (pipeliine.py:117-133), so an overflowing text-dense batch
+            # is re-dispatched through the full-budget variant of the
+            # fused program — and from then on the pipeline LATCHES to
+            # that program for future dispatches, so a text-dense video
+            # pays the double pass exactly once, not per batch.
+            n_valid = int(np.count_nonzero(parsed["valid"]))
+            budget = self._effective_rec_budget(b)
+            if n_valid > budget and not self._full_budget_latched:
+                if not self._rec_budget_warned:
+                    self._rec_budget_warned = True
+                    logger.warning(
+                        "batch has %d valid detections but the "
+                        "recognition budget is %d: recovering via a "
+                        "full-budget second pass and latching to the "
+                        "full-budget program (the first such batch pays "
+                        "its compile). Raise rec_budget (up to "
+                        "batch_size*max_dets) to avoid the one-time "
+                        "cost.",
+                        n_valid, budget,
+                    )
+                self._full_budget_latched = True
+                full = self._dispatch_batch(
+                    frames, confidence_threshold=confidence_threshold,
+                    valid_frames=valid_frames, full_budget=True,
+                )
+                # The second pack is AUTHORITATIVE for everything —
+                # boxes, validity, and transcripts. The recompiled
+                # program could disagree with pass 1 at probability-
+                # threshold boundaries, and mixing passes would attach
+                # transcripts to the wrong detections.
+                out_pack = np.asarray(jax.device_get(full[0]))
+                parsed = self._parse_pack(out_pack, b)
+
+        boxes = parsed["boxes"]
+        polys = parsed["polys"]
+        scores = parsed["scores"]
+        valid = parsed["valid"]
+        ctc = parsed["ctc"]
         sx, sy = w / size, h / size
 
         # Vectorized slot filter (the Python loop over B*K slots was a
@@ -636,45 +694,6 @@ class VideoTextPipeline:
 
         texts: Dict[int, Any] = {}
         if ctc is not None:
-            # CRNN path: slots beyond the recognition budget carry blank
-            # transcripts. The reference recognizes every crop
-            # (pipeliine.py:117-133), so an overflowing text-dense batch
-            # is re-dispatched through the full-budget variant of the
-            # fused program and the CTC columns are taken from that pack
-            # — no detection ever ships with a silently-empty transcript.
-            n_valid = int(np.count_nonzero(valid))
-            budget = self._effective_rec_budget(b)
-            # two_stage recognizes every slot (no budget applies there)
-            if n_valid > budget and self.parallel_mode != "two_stage":
-                if not self._rec_budget_warned:
-                    self._rec_budget_warned = True
-                    logger.warning(
-                        "batch has %d valid detections but the "
-                        "recognition budget is %d: recovering via a "
-                        "full-budget second pass (the first such batch "
-                        "pays its compile). Raise rec_budget (up to "
-                        "batch_size*max_dets) to recognize text-dense "
-                        "video in one pass.",
-                        n_valid, budget,
-                    )
-                full = self._dispatch_batch(
-                    frames, confidence_threshold=confidence_threshold,
-                    valid_frames=valid_frames, full_budget=True,
-                )
-                pack2 = np.asarray(jax.device_get(full[0]))
-                det16_2 = np.ascontiguousarray(
-                    pack2[..., : itemsize * nf16]
-                ).view(self._pack_np).astype(np.float32)
-                from ..ops.ctc import emit_mask_np
-
-                ids2 = pack2[..., itemsize * nf16:].reshape(
-                    b * self.max_dets, -1
-                ).astype(np.int32)
-                ctc = {
-                    "ids": ids2,
-                    "emit": emit_mask_np(ids2),
-                    "confidence": det16_2[..., 14].reshape(-1),
-                }
             from ..ops.ctc import ids_to_text
 
             if need:

@@ -151,10 +151,17 @@ class BrokerState:
             return
         self._last_gc = now
         cutoff = now - self.result_ttl
+        # Never expire records of tasks still in the queue: dropping a
+        # pending task's revoke marker would let the revoked job RUN
+        # when finally claimed; dropping its state makes other replicas
+        # report the queued job as unknown.
+        live = self.pending.keys() | self.claimed.keys()
         for tid in [t for t, s in self.states.items()
-                    if s.get("updated_at", 0.0) < cutoff]:
+                    if s.get("updated_at", 0.0) < cutoff
+                    and t not in live]:
             del self.states[tid]
-        for tid in [t for t, ts in self.revoked.items() if ts < cutoff]:
+        for tid in [t for t, ts in self.revoked.items()
+                    if ts < cutoff and t not in live]:
             del self.revoked[tid]
 
     def pending_count(self) -> int:
@@ -197,22 +204,36 @@ class BrokerServer:
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
+            # Idle/half-open connections must not pin handler threads
+            # forever (reachable pre-auth): the socket times out and the
+            # connection closes; clients reconnect transparently.
+            timeout = 60
+
             def handle(self):
-                try:
-                    line = self.rfile.readline(_MAX_LINE)
+                # Persistent connections: one request line -> one
+                # response line, looped until EOF/idle-timeout. Workers
+                # poll claim at 10 Hz — per-op connections would churn
+                # hundreds of sockets+threads per second across a fleet.
+                while True:
+                    try:
+                        line = self.rfile.readline(_MAX_LINE)
+                    except (TimeoutError, OSError):
+                        return
                     if not line:
                         return
-                    req = json.loads(line)
-                    resp = outer._dispatch(req)
-                except ValueError as e:
-                    resp = {"ok": False, "error": f"bad request: {e}"}
-                except Exception as e:  # noqa: BLE001 — report, don't die
-                    logger.exception("broker op failed")
-                    resp = {"ok": False, "error": repr(e)}
-                try:
-                    self.wfile.write(json.dumps(resp).encode() + b"\n")
-                except OSError:
-                    pass
+                    try:
+                        req = json.loads(line)
+                        resp = outer._dispatch(req)
+                    except ValueError as e:
+                        resp = {"ok": False, "error": f"bad request: {e}"}
+                    except Exception as e:  # noqa: BLE001 — report only
+                        logger.exception("broker op failed")
+                        resp = {"ok": False, "error": repr(e)}
+                    try:
+                        self.wfile.write(json.dumps(resp).encode() + b"\n")
+                        self.wfile.flush()
+                    except OSError:
+                        return
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -290,10 +311,14 @@ class TcpBroker:
     """Client for :class:`BrokerServer` with the exact ``FileBroker``
     method surface (serve/broker.py) — drop-in for ``TaskQueue``.
 
-    One short-lived connection per operation: the broker is a control
-    plane (a few ops per *video*, not per frame), so robustness beats
-    connection reuse; a dead/restarted daemon never wedges a worker
-    holding a stale socket.
+    One persistent connection per broker object (request/response lines
+    are serialized under a lock): workers poll ``claim`` at 10 Hz and
+    the monitor heartbeats at 4 Hz, so per-op connections would churn
+    hundreds of sockets a second across a fleet. A dead/restarted/
+    idle-timed-out daemon is handled by one transparent reconnect per
+    operation; a retried ``claim`` whose first attempt was actually
+    served strands that task only until its heartbeat goes stale and
+    the server reaper requeues it (the normal elasticity path).
     """
 
     def __init__(self, host: str, port: int,
@@ -309,20 +334,51 @@ class TcpBroker:
         self.timeout = timeout
         # kept for API parity (enforced server-side)
         self.heartbeat_timeout = heartbeat_timeout
+        self._lock = threading.Lock()
+        self._conn: Optional[Tuple[socket.socket, Any]] = None
+
+    def _close_locked(self) -> None:
+        if self._conn is not None:
+            s, f = self._conn
+            self._conn = None
+            for obj in (f, s):
+                try:
+                    obj.close()
+                except OSError:
+                    pass
+
+    def close(self) -> None:
+        with self._lock:
+            self._close_locked()
 
     def _rpc(self, op: str, **kw) -> Any:
         req = dict(kw, op=op)
         if self.token:
             req["token"] = self.token
-        with socket.create_connection(
-            (self.host, self.port), timeout=self.timeout
-        ) as s:
-            f = s.makefile("rwb")
-            f.write(json.dumps(req).encode() + b"\n")
-            f.flush()
-            line = f.readline(_MAX_LINE)
-        if not line:
-            raise ConnectionError("broker closed the connection")
+        data = json.dumps(req).encode() + b"\n"
+        with self._lock:
+            line = b""
+            for attempt in (0, 1):
+                try:
+                    if self._conn is None:
+                        s = socket.create_connection(
+                            (self.host, self.port), timeout=self.timeout
+                        )
+                        s.settimeout(self.timeout)
+                        self._conn = (s, s.makefile("rwb"))
+                    _, f = self._conn
+                    f.write(data)
+                    f.flush()
+                    line = f.readline(_MAX_LINE)
+                    if not line:
+                        raise ConnectionError(
+                            "broker closed the connection"
+                        )
+                    break
+                except (OSError, ConnectionError):
+                    self._close_locked()
+                    if attempt:
+                        raise
         resp = json.loads(line)
         if not resp.get("ok"):
             raise RuntimeError(f"broker error: {resp.get('error')}")
@@ -356,7 +412,11 @@ class TcpBroker:
         return bool(self._rpc("is_revoked", id=task_id))
 
     def requeue_stale(self) -> List[str]:
-        return list(self._rpc("requeue_stale") or [])
+        """No-op client-side: the daemon's own reaper thread requeues
+        stale claims every few seconds — N clients each asking for a
+        sweep at 4 Hz would be pure load. (The ``requeue_stale`` op
+        still exists server-side for tests/tools.)"""
+        return []
 
     def pending_count(self) -> int:
         return int(self._rpc("pending_count"))

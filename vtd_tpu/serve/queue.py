@@ -436,7 +436,12 @@ class TaskQueue:
         rec.state = "STARTED"
         rec.started_at = time.time()
         if self.broker is not None:
-            self.broker.set_state(rec.id, {"state": "STARTED"})
+            # Advisory only — a transient broker error here (daemon
+            # restart mid-claim) must not abort a claimed task: the
+            # local record is already STARTED, so an exception would
+            # leave the monitor heartbeating a task that never runs
+            # until the hard time limit fires.
+            _safe(self.broker.set_state, rec.id, {"state": "STARTED"})
         ctx = TaskContext(rec, self)
         for hook in self.on_prerun:
             _safe(hook, rec)
