@@ -134,6 +134,57 @@ def test_minarearect_parity_with_cv2(rects):
         assert best >= 0.95, f"IoU {best:.3f} too low"
 
 
+@pytest.mark.parametrize(
+    "rects",
+    [
+        # Thin wide banners at angles where neither row, column, nor
+        # 45-degree cell runs are long: a fixed CC round schedule
+        # fragments these (measured up to 38 boxes where cv2 finds 1,
+        # round-5 adversarial sweep); the stability-seeded repair loop
+        # in connected_components_scan must converge them to ONE box
+        # at cv2 minAreaRect parity.
+        [(320, 320, 580, 40, 10)],
+        [(320, 320, 580, 40, 20)],
+        [(320, 320, 500, 14, 30)],
+        [(320, 320, 500, 14, 70)],
+        [(320, 320, 400, 20, 60)],
+    ],
+)
+def test_rotated_banner_single_component(rects):
+    import jax.numpy as jnp
+    from vtd_tpu.ops.db_postprocess import db_postprocess
+
+    prob = _synthetic_map(rects)
+    ours = db_postprocess(jnp.asarray(prob), 0.5)
+    ref_rects = _reference_minarearect(prob > 0.5)
+
+    valid = np.asarray(ours["valid"])
+    our_polys = np.asarray(ours["polygons"])[valid]
+    assert len(our_polys) == len(ref_rects) == 1, (
+        f"banner fragmented: {len(our_polys)} boxes vs cv2's "
+        f"{len(ref_rects)}"
+    )
+    assert _poly_iou(ref_rects[0], our_polys[0]) >= 0.95
+
+
+def test_close_text_lines_stay_separate():
+    """Two text lines with a small vertical gap are distinct components
+    in the reference (cv2 full-resolution connectivity). The stride-2
+    work grid merges gaps <= ~3 px by construction (documented floor);
+    this pins the behavior at gap=6 px — comfortably inside real
+    line-spacing territory — so a future work_stride/pooling change
+    can't silently start merging adjacent lines (work_stride=4 did,
+    which is why it is not the default)."""
+    import jax.numpy as jnp
+    from vtd_tpu.ops.db_postprocess import db_postprocess
+
+    prob = _synthetic_map(
+        [(320, 200, 300, 30, 0), (320, 236, 300, 30, 0)]  # 6 px gap
+    )
+    out = db_postprocess(jnp.asarray(prob), 0.5)
+    assert int(np.asarray(out["valid"]).sum()) == 2
+
+
 def test_small_components_filtered():
     import jax.numpy as jnp
     from vtd_tpu.ops.db_postprocess import db_postprocess

@@ -98,12 +98,11 @@ def connected_components_scan(
     which forces labels constant across every component edge — i.e.
     the exact labeling (validated vs cv2.connectedComponents on
     spiral/staircase/noise maps in tests/test_db_postprocess.py with
-    ``max_rounds=32``). The production default is FIXED 3 rounds: text
-    probability-map blobs converge within 3 (the cv2 box-parity tests
-    are the gate), and the dynamic while both compiles and runs
-    measurably slower on TPU than the unrolled fast path (e2e bench
-    91 -> 59 fps when every batch pays worst-lane rounds + per-
-    iteration convergence reduces).
+    ``max_rounds=32``). The production default is 3 unrolled rounds +
+    a stability-seeded repair loop (see inline comment): converged
+    batches skip it entirely, so it costs ~0.2 ms/batch in the common
+    case while guaranteeing the exact labeling for adversarial shapes
+    (thin rotated banners fragment under any fixed round count).
 
     Same contract as :func:`connected_components`.
     """
@@ -197,14 +196,30 @@ def connected_components_scan(
         # vs 0.3 ms for a whole propagation round, and the scans/ladders
         # propagate label VALUES transitively, so grouping only needs
         # per-component label consistency, not the canonical minimum.
-        # The fixed round count means a component whose zigzag depth
-        # exceeds ``min_rounds`` can fragment into multiple labels; text
-        # blobs converge in <=3 (validated vs cv2.connectedComponents in
-        # tests), and ``cc_exact`` / ``max_rounds`` opts into the
-        # convergence-checked exact mode below.
         lbl = one_round(lbl, diag=(i == 1), jump=False)
 
-    if max_rounds > min_rounds:  # opt-in exact mode
+    if max_rounds > min_rounds:
+        # Convergence-checked repair loop. The unrolled fast path covers
+        # text-like blobs (zigzag depth <= min_rounds), but a long thin
+        # banner rotated to an angle where neither row, column, nor
+        # 45-degree cell runs are long fragments into many labels — an
+        # adversarial sweep (tests/test_db_postprocess.py banner cases)
+        # measured up to 38 boxes where cv2 finds 1. The repair loop
+        # runs change-checked diag+jump rounds until the labeling is
+        # stable. The crucial part is the SEED: stability under one
+        # 8-neighbor min step (min8 fixed point <=> labels constant
+        # across every component edge <=> exact labeling) is evaluated
+        # on the fast-path result, so a converged batch — the common
+        # case by far — pays one fused VPU check (~0.2 ms/batch) and
+        # ZERO repair rounds. (The earlier exact mode seeded
+        # changed=True, forcing every batch through one extra
+        # round + [H*W]-gather jump — the 91 -> 59 fps regression that
+        # kept it opt-in.) Only pathological frames pay repair rounds,
+        # and they are exactly the frames the fixed schedule mislabels.
+        def stable(cur):
+            masked = jnp.where(fg, cur, big)
+            return jnp.all(jnp.where(fg, min8(masked) >= cur, True))
+
         def cond(carry):
             i, _, changed = carry
             return changed & (i < max_rounds)
@@ -215,7 +230,7 @@ def connected_components_scan(
             return i + 1, nxt, jnp.any(nxt != cur)
 
         _, lbl, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(min_rounds), lbl, jnp.bool_(True))
+            cond, body, (jnp.int32(min_rounds), lbl, ~stable(lbl))
         )
     return lbl.reshape(-1)
 
@@ -242,11 +257,15 @@ def connected_components(
     if backend in ("auto", "scan"):
         # Segmented-scan propagation beats iterated sweeps on every
         # backend (run-length reach per op instead of one pixel).
-        # ``exact`` runs change-checked rounds to convergence (worst
-        # case for a [H, W] map is well under 32) instead of the fixed
-        # 3-round fast path.
+        # 3 unrolled rounds converge text-like blobs; the repair loop
+        # (seeded by a stability check, so it costs one fused VPU
+        # compare when already converged) covers adversarial shapes —
+        # thin rotated banners fragment under any fixed schedule.
+        # ``exact`` only raises the repair-round budget (32 covers
+        # spiral/noise worst cases; 16 is already ~2x any observed
+        # text/banner need).
         return connected_components_scan(
-            binary, max_rounds=32 if exact else 3
+            binary, max_rounds=32 if exact else 16
         )
 
     h, w = binary.shape
@@ -289,6 +308,7 @@ def connected_components(
     static_argnames=(
         "max_dets", "min_area", "max_box_frac", "num_angles",
         "refine_steps", "cc_iters", "work_stride", "stage", "cc_exact",
+        "m_cells",
     ),
 )
 def db_postprocess(
@@ -304,6 +324,7 @@ def db_postprocess(
     work_stride: int = 2,
     stage: str = "full",
     cc_exact: bool = False,
+    m_cells: int | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """[H, W] float prob map -> fixed-size detection arrays.
 
@@ -363,10 +384,27 @@ def db_postprocess(
     # component's boundary-carrying cells first, and the cell index rides
     # along as the sort payload. This replaces the round-1 full-res
     # argsort of nf pixels (the measured 39 ms/batch hot spot) with one
-    # n-cell sort.
+    # n-cell sort. The cell's boundary-pixel bits ride the SAME payload
+    # word (idx * 2^(st*st) + bits) so the exact-extents scan after the
+    # angle refinement can read per-pixel boundary membership in sorted
+    # order arithmetically — a separate bnd4[cell_sorted] row gather
+    # costs ~0.8 ms/frame.
+    stsq = st * st
     idx = jnp.arange(n, dtype=jnp.int32)
     key = labels * 2 + (~cell_has_b).astype(jnp.int32)
-    ls_key, cell_sorted = jax.lax.sort((key, idx), num_keys=1)
+    jj = jnp.arange(stsq, dtype=jnp.int32)
+    exact_extents = n * (1 << stsq) < 2 ** 31  # payload packing fits i32
+    if exact_extents:
+        bnd_bits = jnp.sum(
+            bnd4.astype(jnp.int32) * (1 << jj)[None, :], axis=1
+        )
+        payload = idx * (1 << stsq) + bnd_bits
+    else:
+        payload = idx
+    ls_key, payload_sorted = jax.lax.sort((key, payload), num_keys=1)
+    cell_sorted = (
+        payload_sorted // (1 << stsq) if exact_extents else payload_sorted
+    )
     ls = ls_key // 2  # label-major order preserved
 
     # component areas + top-K roots via segmented run-length scans
@@ -399,11 +437,14 @@ def db_postprocess(
         return {"roots": safe_roots, "areas": areas, "valid": valid}
 
     # ---- per-component boundary cells -> full-res pixel coordinates ----
-    # 256 cells = up to 1024 boundary pixels exact per component;
-    # larger boundaries subsample uniformly (a full-width 580px banner
-    # has ~330 boundary cells -> ~1.3:1 subsample, parity unaffected).
-    # 512 cells measured +2 ms/batch of gathers for no IoU gain.
-    m_cells = 256
+    # Default sizes the pixel table at 1024 entries regardless of
+    # stride: 256 cells at stride 2 = up to 1024 boundary pixels exact
+    # per component; larger boundaries subsample uniformly (a
+    # full-width 580px banner has ~330 boundary cells -> ~1.3:1
+    # subsample, parity unaffected). 512 cells measured +2 ms/batch of
+    # gathers for no IoU gain.
+    if m_cells is None:
+        m_cells = max(1024 // (st * st), 32)
     starts = jnp.searchsorted(
         ls_key, safe_roots * 2, side="left"
     ).astype(jnp.int32)
@@ -419,17 +460,17 @@ def db_postprocess(
         jnp.minimum(mm[None, :], blen[:, None] - 1),
     )
     cells = cell_sorted[jnp.clip(starts[:, None] + sel, 0, n - 1)]  # [K,M]
-    jj = jnp.arange(st * st, dtype=jnp.int32)
     xs_c = (
         (cells % ws)[:, :, None] * st + (jj % st)[None, None, :]
-    ).astype(jnp.float32).reshape(k, m_cells * st * st)
+    ).astype(jnp.float32).reshape(k, m_cells * stsq)
     ys_c = (
         (cells // ws)[:, :, None] * st + (jj // st)[None, None, :]
-    ).astype(jnp.float32).reshape(k, m_cells * st * st)
+    ).astype(jnp.float32).reshape(k, m_cells * stsq)
     cell_mask = mm[None, :] < blen[:, None]
     pmask = (cell_mask[:, :, None] & bnd4[cells]).reshape(
-        k, m_cells * st * st
+        k, m_cells * stsq
     )
+
     if stage == "boundary":  # profiling cut point
         return {"xs": xs_c, "ys": ys_c, "pmask": pmask, "valid": valid}
 
@@ -497,6 +538,98 @@ def db_postprocess(
     vmin, vmax = _cal_minmax(-xs_c * s + ys_c * c)
     umin, umax = umin - half, umax + half
     vmin, vmax = vmin - half, vmax + half
+    ex_aabb = None
+    if exact_extents:
+        # ---- exact extents over ALL boundary pixels at the final angle.
+        # The subsampled table nails the ANGLE (measured <=0.002 deg off
+        # cv2's hull angle on thin banners — refinement resolution is
+        # ~0.03 deg anyway) but can truncate the EXTENTS: the support
+        # pixels along the box's own axis are staircase hull vertices a
+        # uniform subsample misses by ~0.5 px, which is ~7% IoU at
+        # aspect ~35 (tests/test_db_postprocess.py banner cases). One
+        # segmented min-scan over the label-sorted cells re-measures
+        # min/max of (u, v, x, y) projections over every boundary pixel
+        # at each component's refined angle. Per-position angles come
+        # from a one-hot [n, K] matmul (a K-entry table gather costs
+        # ~0.8 ms/frame on TPU; the matmul fuses); boundary bits unpack
+        # from the sort payload, so the pass adds NO gathers.
+        slot_by_start = jnp.argsort(starts).astype(jnp.int32)
+        sstarts = starts[slot_by_start]
+        sends = ends[slot_by_start]  # runs are disjoint: also sorted
+        rank_raw = jnp.searchsorted(
+            sstarts, idx, side="right"
+        ).astype(jnp.int32) - 1
+        # Position p is inside a run iff the number of runs fully ended
+        # at or before p equals p's start-rank — an all-integer test.
+        # (Comparing p against a run-end fetched through the one-hot
+        # matmul below broke on TPU: matmuls run at bf16 default
+        # precision, and run-end indices up to n round to +-n/256.)
+        ended = jnp.searchsorted(sends, idx, side="right").astype(
+            jnp.int32
+        )
+        in_run = (ended == rank_raw) & (rank_raw >= 0)
+        rank = jnp.clip(rank_raw, 0, k - 1)
+        tab = jnp.stack(
+            [
+                jnp.cos(theta)[slot_by_start],
+                jnp.sin(theta)[slot_by_start],
+            ],
+            axis=1,
+        )  # [K, 2] aligned to sorted-start rank
+        onehot = (
+            rank[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)
+        # HIGHEST: the default TPU bf16 matmul costs ~0.4% on cos/sin,
+        # which is ~2 px of extent on a 500 px banner — the very error
+        # this pass exists to remove.
+        mapped = jnp.matmul(
+            onehot, tab, precision=jax.lax.Precision.HIGHEST
+        )  # [n, 2]
+        c_p, s_p = mapped[:, 0], mapped[:, 1]
+
+        cxf = ((cell_sorted % ws) * st).astype(jnp.float32)
+        cyf = ((cell_sorted // ws) * st).astype(jnp.float32)
+        bits = payload_sorted % (1 << stsq)
+        inf = jnp.float32(jnp.inf)
+        per_pix = []
+        for j in range(stsq):
+            on = ((bits >> j) % 2 == 1) & in_run
+            xj, yj = cxf + (j % st), cyf + (j // st)
+            u = xj * c_p + yj * s_p
+            v = yj * c_p - xj * s_p
+            vals_j = jnp.stack(
+                [u, -u, v, -v, xj, -xj, yj, -yj], axis=1
+            )
+            per_pix.append(jnp.where(on[:, None], vals_j, inf))
+        red = jnp.min(jnp.stack(per_pix, axis=1), axis=1)  # [n, 8]
+
+        def comb(a, b):
+            af, av = a
+            bf, bv = b
+            return af | bf, jnp.where(bf, bv, jnp.minimum(av, bv))
+
+        _, red_s = jax.lax.associative_scan(
+            comb, (is_start[:, None], red), axis=0
+        )
+        run_end = jnp.clip(
+            jnp.searchsorted(ls, safe_roots, side="right").astype(
+                jnp.int32
+            ) - 1,
+            0, n - 1,
+        )
+        g = red_s[run_end]  # [K, 8]
+        have = jnp.isfinite(g[:, 0])
+        umin = jnp.where(have, g[:, 0], umin)
+        umax = jnp.where(have, -g[:, 1], umax)
+        vmin = jnp.where(have, g[:, 2], vmin)
+        vmax = jnp.where(have, -g[:, 3], vmax)
+        ex_aabb = (
+            jnp.where(have, g[:, 4], 0.0),
+            jnp.where(have, -g[:, 5], 0.0),
+            jnp.where(have, g[:, 6], 0.0),
+            jnp.where(have, -g[:, 7], 0.0),
+            have,
+        )
     c, s = c[:, 0], s[:, 0]
 
     uu = jnp.stack([umin, umax, umax, umin], axis=1)  # [K, 4]
@@ -547,10 +680,17 @@ def db_postprocess(
         m = valid.reshape((k,) + (1,) * (x.ndim - 1))
         return jnp.where(m, x, 0.0)
 
-    # AABB extents (full-res space) for callers that need them; axis
-    # extremes also live on the boundary, so the compact arrays are exact
+    # AABB extents (full-res space) for callers that need them; the
+    # exact-extents scan measured these over every boundary pixel, with
+    # the compact table as fallback.
     xmin, xmax = _cal_minmax(xs_c)
     ymin, ymax = _cal_minmax(ys_c)
+    if ex_aabb is not None:
+        exmin, exmax, eymin, eymax, have = ex_aabb
+        xmin = jnp.where(have, exmin, xmin)
+        xmax = jnp.where(have, exmax, xmax)
+        ymin = jnp.where(have, eymin, ymin)
+        ymax = jnp.where(have, eymax, ymax)
 
     return {
         "boxes": _mask(boxes),
